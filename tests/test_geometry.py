@@ -1,0 +1,102 @@
+import numpy as np
+import pytest
+
+from side_tpu.data import geometry as G
+
+
+def _cv2_affine(center, scale, rot, output_size, inv=0):
+    """Reference-style construction via cv2.getAffineTransform
+    (mirrors /root/reference/src/lib/utils/image.py:27-60) as an oracle."""
+    cv2 = pytest.importorskip("cv2")
+    if not isinstance(scale, (np.ndarray, list)):
+        scale = np.array([scale, scale], np.float32)
+    src_w = scale[0]
+    dst_w, dst_h = output_size
+    rot_rad = np.pi * rot / 180
+    sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+    src_dir = np.array([-(-0.5 * src_w) * sn, (-0.5 * src_w) * cs])
+    dst_dir = np.array([0, dst_w * -0.5], np.float32)
+    src = np.zeros((3, 2), np.float32)
+    dst = np.zeros((3, 2), np.float32)
+    src[0, :] = center
+    src[1, :] = center + src_dir
+
+    def third(a, b):
+        d = a - b
+        return b + np.array([-d[1], d[0]], np.float32)
+
+    dst[0, :] = [dst_w * 0.5, dst_h * 0.5]
+    dst[1, :] = np.array([dst_w * 0.5, dst_h * 0.5], np.float32) + dst_dir
+    src[2:, :] = third(src[0, :], src[1, :])
+    dst[2:, :] = third(dst[0, :], dst[1, :])
+    if inv:
+        return cv2.getAffineTransform(np.float32(dst), np.float32(src))
+    return cv2.getAffineTransform(np.float32(src), np.float32(dst))
+
+
+@pytest.mark.parametrize("rot", [0, 15])
+@pytest.mark.parametrize("inv", [0, 1])
+def test_affine_matches_reference_construction(rot, inv):
+    center = np.array([621.0, 187.5])
+    scale = np.array([1242.0, 375.0])
+    ours = G.get_affine_transform(center, scale, rot, [1280, 384], inv=inv)
+    oracle = _cv2_affine(center, scale, rot, [1280, 384], inv=inv)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-3)
+
+
+def test_affine_roundtrip():
+    center = np.array([500.0, 200.0])
+    scale = np.array([1100.0, 370.0])
+    t = G.get_affine_transform(center, scale, 0, [320, 96])
+    t_inv = G.get_affine_transform(center, scale, 0, [320, 96], inv=True)
+    pts = np.random.RandomState(0).rand(10, 2) * 300
+    warped = G.affine_transform_batch(pts, t)
+    back = G.affine_transform_batch(warped, t_inv)
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_transform_preds_inverts_output_warp():
+    center = np.array([621.0, 187.5])
+    scale = np.array([1242.0, 375.0])
+    t = G.get_affine_transform(center, scale, 0, [320, 96])
+    orig = np.array([[100.0, 200.0], [621.0, 187.5]])
+    out_coords = G.affine_transform_batch(orig, t)
+    rec = G.transform_preds(out_coords, center, scale, (320, 96))
+    np.testing.assert_allclose(rec, orig, atol=1e-5)
+
+
+def test_gaussian_radius_known_value():
+    # CornerNet quadratic-root formula, min_overlap=0.7: each candidate r is
+    # the larger root of its displacement case; result is their minimum.
+    h = w = 10.0
+    ov = 0.7
+    r = G.gaussian_radius((h, w))
+    cases = []
+    for a, b, c in [
+        (1, h + w, w * h * (1 - ov) / (1 + ov)),
+        (4, 2 * (h + w), (1 - ov) * w * h),
+        (4 * ov, -2 * ov * (h + w), (ov - 1) * w * h),
+    ]:
+        cases.append((b + np.sqrt(b * b - 4 * a * c)) / 2)
+    assert r == pytest.approx(min(cases))
+    assert 0 < r < 10
+
+
+def test_draw_umich_gaussian_peak_and_clip():
+    hm = np.zeros((96, 320), np.float32)
+    G.draw_umich_gaussian(hm, (5, 5), radius=4)
+    assert hm[5, 5] == pytest.approx(1.0)
+    # near-border draw must not crash and keeps peak inside
+    G.draw_umich_gaussian(hm, (0, 0), radius=6)
+    assert hm[0, 0] == pytest.approx(1.0)
+    G.draw_umich_gaussian(hm, (319, 95), radius=6)
+    assert hm[95, 319] == pytest.approx(1.0)
+
+
+def test_alpha_rot_y_roundtrip():
+    rng = np.random.RandomState(1)
+    alpha = rng.uniform(-np.pi, np.pi, 50)
+    x = rng.uniform(0, 1242, 50)
+    ry = G.alpha_to_rot_y(alpha, x, 621.0, 721.0)
+    back = G.rot_y_to_alpha(ry, x, 621.0, 721.0)
+    np.testing.assert_allclose(back, alpha, atol=1e-9)
