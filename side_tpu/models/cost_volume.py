@@ -1,0 +1,158 @@
+"""Object-conditioned stereo cost volume and instance-depth estimator.
+
+TPU re-design of the reference's cost-volume path
+(/root/reference/src/lib/models/networks/stereo_network_old.py:34-244):
+
+* `proposal_shift` (reference get_proposal_shift, :34-133): builds D=16
+  depth hypotheses per object from a box-size prior, converts each to a
+  disparity shift of the left/right RoIs.  The reference loops over images
+  and depth bins in Python with host round-trips; here everything is one
+  (B, K, D) tensor program.
+* `build_cost_volume`: RoIAligns both views for all B*K*D shifted RoIs at
+  once (reference loops RoIAlign 16x, :371-376) and stacks
+  (left, right, left-right) into a (N, D, R, R, 96) NDHWC volume.
+* `CostVolumeNet` (reference cost_volume, :135-244): stereo-correlation
+  gate, 3D convs, structure-aware 2D attention over the height-collapsed
+  volume, classification + soft-argmin expectation over the depth bins.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.roi_align import roi_align
+from .dla import BN_EPS, BN_MOMENTUM, msra_init
+
+DEPTH_MAX = 87.0
+
+
+def proposal_shift(bbox: jnp.ndarray, bbox_right: jnp.ndarray,
+                   fb: jnp.ndarray, num_bins: int, feat_w: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Depth-hypothesis RoI shifts (stereo_network_old.py:34-133), batched.
+
+    bbox, bbox_right: (B, K, 4) at feature resolution; fb: (B,).
+    Returns (rois_left, rois_right, depth_bin):
+        rois_*   (B, K, D, 4)
+        depth_bin(B, K, D) metric depth per hypothesis (descending from 87m)
+    """
+    B, K, _ = bbox.shape
+    D = num_bins
+    rate = jnp.arange(D, dtype=jnp.float32) / (D - 1)          # (D,)
+
+    xmin = jnp.minimum(bbox[..., 0], bbox_right[..., 0])
+    ymin = jnp.minimum(bbox[..., 1], bbox_right[..., 1])
+    xmax = jnp.maximum(bbox[..., 2], bbox_right[..., 2])
+    ymax = jnp.maximum(bbox[..., 3], bbox_right[..., 3])
+
+    width = jnp.maximum(xmax - xmin, 1e-3)
+    depth_min = jnp.clip(fb[:, None] / (width * 0.9 * 4.0), 1.0, DEPTH_MAX)
+    depth_bin = DEPTH_MAX - (DEPTH_MAX - depth_min[..., None]) * rate  # (B,K,D)
+    disp_bin = fb[:, None, None] / depth_bin / 8.0
+
+    xmin_l = jnp.minimum(xmin[..., None] + disp_bin, feat_w - 1.0)
+    xmax_l = jnp.minimum(xmax[..., None] + disp_bin, feat_w - 1.0)
+    xmin_r = jnp.maximum(xmin[..., None] - disp_bin, 0.0)
+    xmax_r = jnp.maximum(xmax[..., None] - disp_bin, 0.0)
+
+    ymin_d = jnp.broadcast_to(ymin[..., None], (B, K, D))
+    ymax_d = jnp.broadcast_to(ymax[..., None], (B, K, D))
+    rois_left = jnp.stack([xmin_l, ymin_d, xmax_l, ymax_d], axis=-1)
+    rois_right = jnp.stack([xmin_r, ymin_d, xmax_r, ymax_d], axis=-1)
+    return rois_left, rois_right, depth_bin
+
+
+def build_cost_volume(feat_left: jnp.ndarray, feat_right: jnp.ndarray,
+                      rois_left: jnp.ndarray, rois_right: jnp.ndarray,
+                      roi_size: int) -> jnp.ndarray:
+    """RoIAlign both views over all depth hypotheses at once.
+
+    feat_*: (B, H, W, C=32); rois_*: (B, K, D, 4).
+    Returns (B*K, D, R, R, 3C) = concat(left, right, left-right).
+    """
+    B, K, D, _ = rois_left.shape
+    N = B * K * D
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K * D)
+    rl = rois_left.reshape(N, 4)
+    rr = rois_right.reshape(N, 4)
+    pl = roi_align(feat_left, rl, batch_idx, roi_size, 1.0, 2)
+    pr = roi_align(feat_right, rr, batch_idx, roi_size, 1.0, 2)
+    cost = jnp.concatenate([pl, pr, pl - pr], axis=-1)     # (N, R, R, 3C)
+    R = roi_size
+    return cost.reshape(B * K, D, R, R, 3 * feat_left.shape[-1])
+
+
+class ConvBN3D(nn.Module):
+    features: int
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3, 3), padding=1, use_bias=False,
+                    kernel_init=msra_init, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=jnp.float32)(x)
+        return nn.relu(x) if self.relu else x
+
+
+class CostVolumeNet(nn.Module):
+    """3D-CNN instance-depth head with the structure-aware attention module
+    (stereo_network_old.py:135-244).  Volumes are NDHWC: (N, D, H, W, C)."""
+    reduced_channels: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cost: jnp.ndarray, depth_bin: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        C = self.reduced_channels
+        left = cost[..., :C]
+        right = cost[..., C:2 * C]
+
+        # stereo correlation gate: normalised cross-correlation per depth
+        # plane over (H, W, C) (stereo_network_old.py:197-203)
+        cf = jnp.float32
+        l32, r32 = left.astype(cf), right.astype(cf)
+        l_norm = jnp.sqrt(jnp.sum(l32 * l32, axis=(2, 3, 4)))
+        r_norm = jnp.sqrt(jnp.sum(r32 * r32, axis=(2, 3, 4)))
+        x_cross = (jnp.sum(l32 * r32, axis=(2, 3, 4)) /
+                   jnp.maximum(l_norm * r_norm, 0.01))        # (N, D)
+        cost = cost * x_cross[:, :, None, None, None].astype(cost.dtype)
+
+        cost = ConvBN3D(64, dtype=self.dtype)(cost, train)
+        cost = ConvBN3D(64, dtype=self.dtype)(cost, train)
+
+        # structure-aware attention: collapse the height dim, gate with a
+        # sigmoid 2D conv over (depth, width) (stereo_network_old.py:207-210)
+        isp = jnp.mean(cost, axis=2)                          # (N, D, W, C)
+        isp = nn.Conv(64, (3, 3), padding=1, kernel_init=msra_init,
+                      dtype=self.dtype, name="strAM_conv")(isp)
+        isp = nn.BatchNorm(use_running_average=not train,
+                           momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                           dtype=jnp.float32, name="strAM_bn")(isp)
+        gate = jax.nn.sigmoid(isp)[:, :, None].astype(cost.dtype)
+        cost = cost * gate
+
+        cost = ConvBN3D(64, dtype=self.dtype)(cost, train)
+        cost = ConvBN3D(128, dtype=self.dtype)(cost, train)
+        cost = nn.max_pool(cost, (1, 2, 2), (1, 2, 2))        # halve H, W
+
+        res = cost
+        cost = ConvBN3D(128, dtype=self.dtype)(cost, train)
+        cost = ConvBN3D(128, dtype=self.dtype)(cost, train) + res
+        cost = nn.max_pool(cost, (1, 2, 2), (1, 2, 2))
+
+        cost = ConvBN3D(64, dtype=self.dtype)(cost, train)
+        cost = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False,
+                       kernel_init=msra_init, dtype=self.dtype,
+                       name="classify")(cost)                 # (N, D, h, w, 1)
+        logits = jnp.mean(cost[..., 0].astype(cf), axis=(2, 3))  # (N, D)
+
+        # soft-argmin expectation over the metric depth bins (:232-236)
+        pred = jax.nn.softmax(logits, axis=1)
+        return jnp.sum(pred * depth_bin, axis=1)              # (N,)

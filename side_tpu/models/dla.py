@@ -1,0 +1,325 @@
+"""DLA-34 backbone with deformable-conv aggregation upsampling, NHWC Flax.
+
+Structure matches the reference trunk
+(/root/reference/src/lib/models/networks/feature_extraction_dla34.py):
+DLA-34 levels [1,1,1,2,2,1] x channels [16,32,64,128,256,512] built from
+BasicBlocks and recursive Trees (:168-315), iterative deep aggregation
+DLAUp/IDAUp (:360-413) whose project/node convs are DCNv2 deformable convs
+(:345-357), and a final IDAUp fusing strides 4/8/16 into a 64-channel
+1/4-resolution map (:427-453).
+
+TPU-first choices: NHWC layout, bf16-friendly compute dtype, the deformable
+conv as a gather+MXU `dot_general` (side_tpu.ops.deform_conv), and the
+learnable depthwise transpose-conv upsampler expressed as an input-dilated
+grouped convolution.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.deform_conv import deform_conv2d
+
+# torch BN defaults used by the reference (momentum 0.1 -> flax 0.9)
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+# kaiming-uniform(a=sqrt(5)) equivalent — torch Conv2d default init
+conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# msra fill used by the reference's hand-initialised conv stacks
+msra_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) + BN + optional ReLU."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride, padding=pad,
+                    kernel_dilation=self.dilation, use_bias=False,
+                    kernel_init=conv_init, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=jnp.float32)(x)
+        return nn.relu(x) if self.relu else x
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with a residual (feature_extraction_dla34.py:31-59)."""
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        out = ConvBN(self.features, 3, self.stride, self.dilation,
+                     dtype=self.dtype)(x, train)
+        out = ConvBN(self.features, 3, 1, self.dilation, relu=False,
+                     dtype=self.dtype)(out, train)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    """1x1 fuse of tree children (feature_extraction_dla34.py:147-165)."""
+    features: int
+    residual: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, children: Sequence[jnp.ndarray], train: bool = False):
+        x = jnp.concatenate(children, axis=-1)
+        x = ConvBN(self.features, 1, relu=False, dtype=self.dtype)(x, train)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    """Recursive deep-aggregation tree (feature_extraction_dla34.py:168-221)."""
+    levels: int
+    in_features: int
+    features: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    dilation: int = 1
+    root_residual: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None, train: bool = False):
+        root_dim = self.root_dim or 2 * self.features
+        if self.level_root:
+            root_dim += self.in_features
+        children = [] if children is None else list(children)
+
+        bottom = nn.max_pool(x, (self.stride, self.stride),
+                             (self.stride, self.stride)) \
+            if self.stride > 1 else x
+        if self.in_features != self.features:
+            residual = ConvBN(self.features, 1, relu=False,
+                              dtype=self.dtype)(bottom, train)
+        else:
+            residual = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = BasicBlock(self.features, self.stride, self.dilation,
+                            dtype=self.dtype)(x, residual, train)
+            x2 = BasicBlock(self.features, 1, self.dilation,
+                            dtype=self.dtype)(x1, train=train)
+            return Root(self.features, self.root_residual,
+                        dtype=self.dtype)([x2, x1] + children, train)
+
+        x1 = Tree(self.levels - 1, self.in_features, self.features,
+                  self.stride, dilation=self.dilation,
+                  root_residual=self.root_residual,
+                  dtype=self.dtype)(x, residual, train=train)
+        children.append(x1)
+        return Tree(self.levels - 1, self.features, self.features,
+                    root_dim=root_dim + self.features,
+                    dilation=self.dilation,
+                    root_residual=self.root_residual,
+                    dtype=self.dtype)(x1, children=children, train=train)
+
+
+class DLA(nn.Module):
+    """Six-level DLA trunk returning every level's features
+    (feature_extraction_dla34.py:224-292)."""
+    levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    residual_root: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        ch = self.channels
+        x = ConvBN(ch[0], 7, 1, dtype=self.dtype)(x, train)
+        outs = []
+        # level0/level1: plain conv stages
+        y = x
+        for _ in range(self.levels[0]):
+            y = ConvBN(ch[0], 3, 1, dtype=self.dtype)(y, train)
+        outs.append(y)
+        for i in range(self.levels[1]):
+            y = ConvBN(ch[1], 3, 2 if i == 0 else 1, dtype=self.dtype)(y, train)
+        outs.append(y)
+        # level2..5: trees
+        y = Tree(self.levels[2], ch[1], ch[2], 2, level_root=False,
+                 root_residual=self.residual_root, dtype=self.dtype)(
+                     y, train=train)
+        outs.append(y)
+        for lvl, (n, c_in, c_out) in enumerate(
+                [(self.levels[3], ch[2], ch[3]),
+                 (self.levels[4], ch[3], ch[4]),
+                 (self.levels[5], ch[4], ch[5])]):
+            y = Tree(n, c_in, c_out, 2, level_root=True,
+                     root_residual=self.residual_root, dtype=self.dtype)(
+                         y, train=train)
+            outs.append(y)
+        return outs
+
+
+def _bilinear_kernel(factor: int) -> np.ndarray:
+    """Bilinear interpolation kernel of size 2f x 2f
+    (feature_extraction_dla34.py:333-342)."""
+    size = 2 * factor
+    f = math.ceil(size / 2)
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    r = np.arange(size)
+    k1 = 1 - np.abs(r / f - c)
+    return np.outer(k1, k1).astype(np.float32)
+
+
+class BilinearUp(nn.Module):
+    """Learnable depthwise transpose-conv upsampler, bilinear-initialised.
+
+    Torch ConvTranspose2d(o, o, 2f, stride=f, pad=f//2, groups=o) expressed
+    as an input-dilated depthwise convolution (exactly equivalent)."""
+    factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        if f == 1:
+            return x
+        C = x.shape[-1]
+        k = 2 * f
+
+        def init(key, shape, dtype=jnp.float32):
+            kern = _bilinear_kernel(f)
+            return jnp.asarray(kern[:, :, None, None] *
+                               np.ones((1, 1, 1, shape[-1])), dtype)
+
+        w = self.param("kernel", init, (k, k, 1, C))
+        # transpose conv == lhs-dilated conv with the spatially flipped kernel
+        pad = k - 1 - f // 2
+        out = jax.lax.conv_general_dilated(
+            x, jnp.flip(w, (0, 1)).astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+            preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
+
+
+class DeformBlock(nn.Module):
+    """DCNv2 3x3 + BN + ReLU (feature_extraction_dla34.py:345-357).
+
+    The offset/mask conv is zero-initialised so the block starts as a plain
+    conv with 0.5 modulation (dcn_v2.py:105-116)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, Cin = x.shape
+        om = nn.Conv(27, (3, 3), padding=1,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="offset_mask")(x)
+        om = om.reshape(B, H, W, 9, 3)
+        offset = om[..., 0:2].astype(jnp.float32)
+        mask = jax.nn.sigmoid(om[..., 2].astype(jnp.float32))
+
+        w = self.param("kernel", conv_init, (3, 3, Cin, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        y = deform_conv2d(x, offset, mask, w, b)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=jnp.float32)(y)
+        return nn.relu(y).astype(x.dtype)
+
+
+class IDAUp(nn.Module):
+    """Iterative deep aggregation step (feature_extraction_dla34.py:360-386):
+    project each finer-level input to `features` channels (deformable),
+    upsample, and fuse with the previous level through a deformable node."""
+    features: int
+    up_factors: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int,
+                 train: bool = False) -> List[jnp.ndarray]:
+        layers = list(layers)
+        for i in range(startp + 1, endp):
+            j = i - startp
+            x = DeformBlock(self.features, dtype=self.dtype,
+                            name=f"proj_{j}")(layers[i], train)
+            x = BilinearUp(int(self.up_factors[j]), dtype=self.dtype,
+                           name=f"up_{j}")(x)
+            layers[i] = DeformBlock(self.features, dtype=self.dtype,
+                                    name=f"node_{j}")(x + layers[i - 1], train)
+        return layers
+
+
+class DLAUp(nn.Module):
+    """Full aggregation pyramid (feature_extraction_dla34.py:390-413)."""
+    startp: int
+    channels: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False
+                 ) -> List[jnp.ndarray]:
+        layers = list(layers)
+        channels = list(self.channels)
+        scales = [2 ** i for i in range(len(channels))]
+        scales = np.array(scales, int)
+        in_channels = list(channels)
+        out = [layers[-1]]
+        n = len(layers)
+        for i in range(len(channels) - 1):
+            j = -i - 2
+            ida = IDAUp(channels[j],
+                        (scales[j:] // scales[j]).tolist(),
+                        dtype=self.dtype, name=f"ida_{i}")
+            layers = ida(layers, n - i - 2, n, train)
+            scales[j + 1:] = scales[j]
+            in_channels[j + 1:] = [channels[j] for _ in channels[j + 1:]]
+            out.insert(0, layers[-1])
+        return out
+
+
+class FeatureExtractor(nn.Module):
+    """DLA-34 -> DLAUp -> final IDAUp: a 64-channel 1/4-resolution feature
+    map (feature_extraction_dla34.py:427-453)."""
+    down_ratio: int = 4
+    last_level: int = 5
+    dtype: Any = jnp.float32
+
+    channels = (16, 32, 64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        first = int(np.log2(self.down_ratio))
+        feats = DLA(dtype=self.dtype, name="base")(x, train)
+        outs = DLAUp(first, self.channels[first:], dtype=self.dtype,
+                     name="dla_up")(feats[first:], train)
+        y = list(outs[: self.last_level - first])
+        y = IDAUp(self.channels[first],
+                  [2 ** i for i in range(self.last_level - first)],
+                  dtype=self.dtype, name="ida_up")(y, 0, len(y), train)
+        return y[-1]

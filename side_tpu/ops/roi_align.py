@@ -1,0 +1,80 @@
+"""Vectorised RoIAlign for TPU.
+
+Matches torchvision's legacy RoIAlign with aligned=False (the reference's
+cost-volume pooling, /root/reference/src/lib/models/networks/
+stereo_network_old.py:271: RoIAlign((16,16), spatial_scale=1,
+sampling_ratio=2)): fixed sampling grid per bin, zero outside the feature
+map (sample coords < -1 or > size give 0, otherwise clamped bilinear),
+averaged over the sampling points.
+
+Everything is fixed-shape: rois come as (N, 4) boxes plus an (N,) int batch
+index; invalid rois are simply pooled garbage the caller masks later.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, batch_idx: jnp.ndarray,
+              out_size: int, spatial_scale: float = 1.0,
+              sampling_ratio: int = 2) -> jnp.ndarray:
+    """feat: (B, H, W, C); boxes: (N, 4) x1,y1,x2,y2; batch_idx: (N,) int.
+    Returns (N, out_size, out_size, C)."""
+    B, H, W, C = feat.shape
+    N = boxes.shape[0]
+    P = out_size
+    S = sampling_ratio
+
+    x1 = boxes[:, 0] * spatial_scale
+    y1 = boxes[:, 1] * spatial_scale
+    x2 = boxes[:, 2] * spatial_scale
+    y2 = boxes[:, 3] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / P
+    bin_h = roi_h / P
+
+    # sampling coordinates: (N, P*S) per axis
+    grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / S  # bin units
+    sy = y1[:, None] + bin_h[:, None] * grid[None, :]        # (N, P*S)
+    sx = x1[:, None] + bin_w[:, None] * grid[None, :]
+
+    # torchvision: coords < -1 or > size -> 0; else clamp to [0, size-1]
+    vy = (sy >= -1.0) & (sy <= H * 1.0)
+    vx = (sx >= -1.0) & (sx <= W * 1.0)
+    syc = jnp.clip(sy, 0.0, H - 1.0)
+    sxc = jnp.clip(sx, 0.0, W - 1.0)
+
+    y0 = jnp.floor(syc)
+    x0 = jnp.floor(sxc)
+    fy = syc - y0
+    fx = sxc - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, H - 1)
+    x1i = jnp.minimum(x0 + 1, W - 1)
+
+    feat_flat = feat.reshape(B, H * W, C)
+    per_roi = jnp.take(feat_flat, batch_idx.astype(jnp.int32), axis=0)
+
+    def gather(yi, xi):
+        # (N, P*S, P*S) flattened plane indices -> (N, (P*S)^2, C)
+        idx = (yi[:, :, None] * W + xi[:, None, :]).reshape(N, -1)
+        return jnp.take_along_axis(per_roi, idx[..., None], axis=1)
+
+    w00 = ((1 - fy)[:, :, None] * (1 - fx)[:, None, :]).reshape(N, -1, 1)
+    w01 = ((1 - fy)[:, :, None] * fx[:, None, :]).reshape(N, -1, 1)
+    w10 = (fy[:, :, None] * (1 - fx)[:, None, :]).reshape(N, -1, 1)
+    w11 = (fy[:, :, None] * fx[:, None, :]).reshape(N, -1, 1)
+
+    val = (gather(y0, x0) * w00 + gather(y0, x1i) * w01 +
+           gather(y1i, x0) * w10 + gather(y1i, x1i) * w11)
+
+    valid = (vy[:, :, None] & vx[:, None, :]).reshape(N, -1, 1)
+    val = val * valid.astype(val.dtype)
+
+    # average the S x S samples of each bin
+    val = val.reshape(N, P, S, P, S, C)
+    return val.mean(axis=(2, 4))

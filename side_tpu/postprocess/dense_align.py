@@ -1,0 +1,220 @@
+"""Dense photometric alignment, fully batched for TPU.
+
+Re-design of the reference dense alignment
+(/root/reference/src/lib/dense_align/dense_align.py and box_3d.py): for each
+detection, pixels in the lower half of its RoI between the occlusion borders
+are intersected with the solved 3D box (3 candidate faces around the nearest
+vertex), giving a per-pixel depth offset to the object centre; 50 coarse
+(0.5 m) + 20 fine depth candidates are scored by the photometric L1 between
+the left pixel and its disparity-warped right sample on 2x-upsampled images;
+the argmin depth wins.
+
+TPU changes vs the reference: the per-roi Python sampling loop
+(dense_align.py:39-67) becomes a fixed (rois, P) sample grid with validity
+weights, the ray-box intersection (box_3d.py:83-103) is vmapped over rois,
+and both enumeration rounds run as one (iter, rois, pixels) gather program
+(the reference already batches this, :175-238).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sampling-grid resolution: the reference strides so that at most ~56
+# columns and ~22 rows are sampled (dense_align.py:42-45)
+N_U, N_V = 56, 22
+COARSE_ITERS, COARSE_STEP = 50, 0.5
+FINE_ITERS = 20
+
+
+def _box_planes(pose: jnp.ndarray):
+    """6 face planes + object rotation/translation for one pose
+    (x, y, z, w, h, l, theta) (box_3d.py:9-57)."""
+    t = pose[0:3]
+    w, h, l = pose[3], pose[4], pose[5]
+    th = pose[6]
+    c, s = jnp.cos(th), jnp.sin(th)
+    R = jnp.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    # 8 corners in object frame: bottom ring y=0, top ring y=-h
+    sx = jnp.array([-1, -1, 1, 1, -1, -1, 1, 1], jnp.float32) * w / 2
+    sy = jnp.array([0, 0, 0, 0, -1, -1, -1, -1], jnp.float32) * h
+    sz = jnp.array([-1, 1, 1, -1, -1, 1, 1, -1], jnp.float32) * l / 2
+    P_o = jnp.stack([sx, sy, sz], axis=1)              # (8, 3)
+    P_c = P_o @ R.T + t
+
+    def plane(p1, p2, p3):
+        n = jnp.cross(p2 - p1, p3 - p1)
+        return jnp.concatenate([n, -jnp.dot(n, p1)[None]])
+
+    planes = jnp.stack([
+        plane(P_c[0], P_c[3], P_c[4]),   # front
+        plane(P_c[2], P_c[3], P_c[6]),   # right
+        plane(P_c[1], P_c[2], P_c[5]),   # back
+        plane(P_c[0], P_c[1], P_c[4]),   # left
+        plane(P_c[0], P_c[1], P_c[2]),   # bottom
+        plane(P_c[4], P_c[5], P_c[6]),   # top
+    ])
+    nearest = jnp.argmin(jnp.linalg.norm(P_c, axis=1))
+    return planes, R, t, P_o, nearest
+
+
+# per nearest-vertex candidate face triple (box_3d.py:85-93)
+_PLANE_GROUP = np.array([
+    [0, 3, 4], [2, 3, 4], [1, 2, 4], [0, 1, 4],
+    [0, 3, 5], [2, 3, 5], [1, 2, 5], [0, 1, 5]], np.int32)
+
+
+def ray_box_intersect(pose: jnp.ndarray, rays: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Intersect normalised-image-plane rays with the 3 visible faces of a
+    box (box_3d.py:83-103).  rays: (P, 2) (nu, nv).
+
+    Returns (dz, valid): per-pixel depth offset to the box centre and an
+    inside-box flag; the FIRST valid face in plane-group order wins."""
+    planes, R, t, P_o, nearest = _box_planes(pose)
+    group = jnp.asarray(_PLANE_GROUP)[nearest]          # (3,)
+    homo = jnp.concatenate([rays, jnp.ones_like(rays[:, :1])], axis=1)
+
+    eps = 0.01
+    lo = P_o[4] - eps                                   # min corner
+    hi = P_o[2] + eps                                   # max corner
+
+    def face(i):
+        pl = planes[group[i]]
+        denom = homo @ pl[:3]
+        tscale = -pl[3] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        pt_c = homo * tscale[:, None]                   # camera frame
+        rel = pt_c - t
+        pt_o = rel @ R                                  # object frame (R^T.T)
+        inside = jnp.all((pt_o >= lo) & (pt_o <= hi), axis=1)
+        return rel[:, 2], inside
+
+    dz0, v0 = face(0)
+    dz1, v1 = face(1)
+    dz2, v2 = face(2)
+    dz = jnp.where(v0, dz0, jnp.where(v1, dz1, dz2))
+    return dz, v0 | v1 | v2
+
+
+def sample_grid(box_left: jnp.ndarray, borders: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed (N, P, 2) pixel grid in the lower half of each RoI between the
+    occlusion borders (dense_align.py:42-45: rows from the box mid-height to
+    10% above the bottom, columns between the borders)."""
+    x1 = borders[:, 0]
+    x2 = jnp.maximum(borders[:, 1], x1 + 1.0)
+    y_top = (box_left[:, 1] + box_left[:, 3]) / 2.0
+    y_bot = box_left[:, 3] - (box_left[:, 3] - box_left[:, 1]) * 0.1
+    uu = jnp.linspace(0.0, 1.0, N_U)[None, :]           # (1, U)
+    vv = jnp.linspace(0.0, 1.0, N_V)[None, :]
+    us = x1[:, None] + (x2 - x1)[:, None] * uu          # (N, U)
+    vs = y_top[:, None] + (y_bot - y_top)[:, None] * vv
+    grid = jnp.stack([
+        jnp.broadcast_to(us[:, None, :], (us.shape[0], N_V, N_U)),
+        jnp.broadcast_to(vs[:, :, None], (us.shape[0], N_V, N_U)),
+    ], axis=-1)
+    return grid.reshape(us.shape[0], N_V * N_U, 2), (x2 > x1 + 0.5)
+
+
+def _bilinear_border(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Border-clamped bilinear sampling (grid_sample padding_mode='border').
+    img: (H, W, C); u, v: (...,)."""
+    H, W = img.shape[0], img.shape[1]
+    u = jnp.clip(u, 0.0, W - 1.0)
+    v = jnp.clip(v, 0.0, H - 1.0)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    flat = img.reshape(H * W, -1)
+    shp = u.shape
+
+    def g(yi, xi):
+        return flat[(yi * W + xi).reshape(-1)].reshape(*shp, -1)
+
+    return (g(y0, x0) * ((1 - fy) * (1 - fx))[..., None] +
+            g(y0, x1) * ((1 - fy) * fx)[..., None] +
+            g(y1, x0) * (fy * (1 - fx))[..., None] +
+            g(y1, x1) * (fy * fx)[..., None])
+
+
+def _photometric_best(im_left, im_right, uv, dz, weight, depth_enum, fb):
+    """Score every candidate depth by warped L1 (dense_align.py:175-238).
+
+    uv: (N, P, 2) pixel coords (2x image); dz: (N, P); weight: (N, P);
+    depth_enum: (I, N).  Returns best depth per roi (N,)."""
+    left_px = _bilinear_border(im_left, uv[..., 0], uv[..., 1])   # (N, P, C)
+
+    def score(depth_n):                                  # depth_n: (N,)
+        # per-pixel disparity at candidate depth: fb / (dz + z)
+        zpix = dz + depth_n[:, None]
+        delta = fb / jnp.maximum(zpix, 0.5)
+        right_px = _bilinear_border(im_right, uv[..., 0] - delta, uv[..., 1])
+        err = jnp.abs(left_px - right_px) * weight[..., None]
+        return jnp.sum(err, axis=(1, 2))                 # (N,)
+
+    errors = jax.vmap(score)(depth_enum)                 # (I, N)
+    best = jnp.argmin(errors, axis=0)
+    return jnp.take_along_axis(depth_enum, best[None], axis=0)[0]
+
+
+@partial(jax.jit, static_argnames=())
+def align_depths(im_left2x: jnp.ndarray, im_right2x: jnp.ndarray,
+                 f2x: jnp.ndarray, bl: jnp.ndarray, cx2x: jnp.ndarray,
+                 cy2x: jnp.ndarray, box_left2x: jnp.ndarray,
+                 borders2x: jnp.ndarray, poses: jnp.ndarray,
+                 valid: jnp.ndarray):
+    """Full alignment for N detections (dense_align.py:240-312).
+
+    im_*2x: (H, W, 3) normalised 2x-upsampled images; box/border coords in
+    2x pixels; poses: (N, 7) = (x, y, z, w, h, l, theta).
+    Returns (status (N,), best_dis (N,)) with disparity in ORIGINAL pixels
+    (+0.5 bias as in :309)."""
+    fb = f2x * bl
+    uv, has_span = sample_grid(box_left2x, borders2x)
+    rays = jnp.stack([(uv[..., 0] - cx2x) / f2x,
+                      (uv[..., 1] - cy2x) / f2x], axis=-1)
+    dz, inside = jax.vmap(ray_box_intersect)(poses, rays)
+    weight = (inside & has_span[:, None] & valid[:, None]).astype(jnp.float32)
+
+    status = (jnp.sum(weight, axis=1) > 0).astype(jnp.float32)
+    z0 = poses[:, 2]
+
+    # coarse enumeration: 50 steps of 0.5 m centred on the solved depth
+    steps = jnp.arange(COARSE_ITERS, dtype=jnp.float32)
+    coarse = (z0[None, :] - COARSE_ITERS * COARSE_STEP / 2 +
+              steps[:, None] * COARSE_STEP)
+    coarse = jnp.maximum(coarse, 1.5)
+    best = _photometric_best(im_left2x, im_right2x, uv, dz, weight, coarse,
+                             fb)
+    # fine tuning: 20 steps over +-0.5 m around the coarse best
+    fine_step = COARSE_STEP * 2.0 / FINE_ITERS
+    fsteps = jnp.arange(FINE_ITERS, dtype=jnp.float32)
+    fine = (best[None, :] - FINE_ITERS * fine_step / 2 +
+            fsteps[:, None] * fine_step)
+    best = _photometric_best(im_left2x, im_right2x, uv, dz, weight, fine, fb)
+
+    # disparity back in original pixels (scale=2), +0.5 bias as reference
+    best_dis = fb / (best * 2.0) + 0.5
+    dis_init = fb / (z0 * 2.0) + 0.5
+    best_dis = jnp.where(status > 0, best_dis, dis_init)
+    return status, best_dis
+
+
+def upsample2x(img_norm: np.ndarray) -> np.ndarray:
+    """Bilinear 2x upsample matching F.interpolate(align_corners=False)."""
+    x = jnp.asarray(img_norm)[None]
+    out = jax.image.resize(x, (1, x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
+                           method="bilinear")
+    return np.asarray(out[0])

@@ -1,0 +1,158 @@
+"""Inference engine with per-stage timing.
+
+Replaces the reference detector
+(/root/reference/src/lib/modules/stereoDetector.py:22-220): `pre_process`
+runs the same affine pipeline as the dataset without augmentation (:45-82),
+`process` is ONE jitted device program (forward + sigmoid + ddd_decode +
+cost-volume depth, :84-103 — the reference decodes outside the model), and
+`run` reports the same tot/load/pre/net/dec/post/merge wall-clock stages
+(:146-220) with `block_until_ready` fences instead of cuda.synchronize."""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import geometry as G
+from ..models import create_model
+from ..models.stereo_net import init_stereo_net
+from ..ops import decode as dec
+from ..postprocess.post_process import process_frame
+from . import checkpoint as ckpt
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class Detector:
+    def __init__(self, cfg: Config, variables: Optional[dict] = None):
+        self.cfg = cfg
+        self.model = create_model(cfg)
+        if variables is None:
+            variables = jax.jit(
+                functools.partial(init_stereo_net, self.model,
+                                  input_h=cfg.input_h, input_w=cfg.input_w,
+                                  max_objs=cfg.max_objs)
+            )(jax.random.PRNGKey(0))
+            if cfg.load_model:
+                loaded = ckpt.load_checkpoint(cfg.load_model)
+                params = ckpt.merge_restore(variables["params"],
+                                            loaded["params"])
+                bs = ckpt.merge_restore(variables["batch_stats"],
+                                        loaded["batch_stats"]) \
+                    if loaded["batch_stats"] else variables["batch_stats"]
+                variables = {"params": params, "batch_stats": bs}
+        self.variables = jax.device_put(variables)
+        self.mean = np.asarray(cfg.mean, np.float32).reshape(1, 1, 3)
+        self.std = np.asarray(cfg.std, np.float32).reshape(1, 1, 3)
+
+        cost_volume = cfg.cost_volume
+
+        @jax.jit
+        def _process(variables, batch):
+            out = self.model.apply(variables, batch,
+                                   use_cost_volume=cost_volume,
+                                   target=None, train=False)
+            hm = jax.nn.sigmoid(out["hm"])
+            dets, dets_r, info = dec.ddd_decode(
+                hm, out["kept_type"], out["dim"], out["orien"],
+                out["wh"], out["reg"], grid_size=cfg.grid, K=cfg.K)
+            if cost_volume:
+                info = jnp.concatenate([info, out["depth"]], axis=2)
+            return dets, dets_r, info
+
+        self._process = _process
+
+    # -------------------------------------------------------------- stages
+    def pre_process(self, image, image_right, calib):
+        cfg = self.cfg
+        height, width = image.shape[:2]
+        c = np.array([width / 2.0, height / 2.0], np.float32)
+        if cfg.keep_res:
+            s = np.array([cfg.input_w, cfg.input_h], np.int32)
+        else:
+            s = np.array([width, height], np.int32)
+        trans = G.get_affine_transform(c, s, 0, [cfg.input_w, cfg.input_h])
+
+        def prep(im):
+            from ..data.dataset import warp_affine
+            x = warp_affine(im, trans, cfg.input_w, cfg.input_h)
+            x = (x.astype(np.float32) / 255.0 - self.mean) / self.std
+            return x[None]  # NHWC
+
+        meta = {"c": c, "s": s, "calib": calib}
+        return prep(image), prep(image_right), meta
+
+    def process(self, batch):
+        dets, dets_r, info = self._process(self.variables, batch)
+        jax.block_until_ready(info)
+        return dets, dets_r, info
+
+    def merge_outputs(self, results: Dict[int, np.ndarray]):
+        """Per-class peak_thresh filter (stereoDetector.py:118-124)."""
+        out = {}
+        for cls, rows in results.items():
+            rows = np.asarray(rows)
+            out[cls] = rows[rows[:, -1] > self.cfg.peak_thresh] \
+                if len(rows) else rows
+        return out
+
+    # ------------------------------------------------------------------ run
+    def run(self, images_or_paths, image_id=None, calib=None,
+            run_align: bool = True) -> Dict:
+        cfg = self.cfg
+        t0 = time.time()
+        if isinstance(images_or_paths, (list, tuple)) and \
+                isinstance(images_or_paths[0], str):
+            image = cv2.imread(images_or_paths[0])
+            image_right = cv2.imread(images_or_paths[1])
+        else:
+            image, image_right = images_or_paths
+        t_load = time.time()
+
+        inp, inp_right, meta = self.pre_process(image, image_right, calib)
+        batch = {
+            "input": jnp.asarray(inp),
+            "input_right": jnp.asarray(inp_right),
+            "fb": jnp.asarray(
+                [np.float32(_fb_from_calib(calib))], jnp.float32),
+        }
+        jax.block_until_ready(batch["input"])
+        t_pre = time.time()
+
+        dets, dets_r, info = self.process(batch)
+        t_net = time.time()
+
+        dets = np.asarray(dets[0])
+        dets_r = np.asarray(dets_r[0])
+        info = np.asarray(info[0])
+        t_dec = time.time()
+
+        results = process_frame(dets, dets_r, info, meta, cfg,
+                                img_left=image, img_right=image_right,
+                                run_align=run_align)
+        t_post = time.time()
+
+        results = self.merge_outputs(results)
+        t_end = time.time()
+
+        return {
+            "results": results,
+            "tot": t_end - t0, "load": t_load - t0, "pre": t_pre - t_load,
+            "net": t_net - t_pre, "dec": t_dec - t_net,
+            "post": t_post - t_dec, "merge": t_end - t_post,
+        }
+
+
+def _fb_from_calib(calib) -> float:
+    p2 = np.asarray(calib[2], np.float64).reshape(3, 4)
+    p3 = np.asarray(calib[3], np.float64).reshape(3, 4)
+    return float(p2[0, 3] - p3[0, 3])

@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from side_tpu.ops.deform_conv import deform_conv2d, plain_conv2d
+
+
+def _setup(rng, B=1, H=7, W=9, Cin=4, Cout=5, k=3):
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    w = (rng.randn(k, k, Cin, Cout) * 0.2).astype(np.float32)
+    b = rng.randn(Cout).astype(np.float32)
+    offset = np.zeros((B, H, W, k * k, 2), np.float32)
+    mask = np.ones((B, H, W, k * k), np.float32)
+    return x, w, b, offset, mask
+
+
+def test_zero_offset_equals_plain_conv():
+    """DCNv2/test.py:32-65 analogue: zero offsets + unit mask == regular conv."""
+    rng = np.random.RandomState(0)
+    x, w, b, offset, mask = _setup(rng)
+    out_d = np.asarray(deform_conv2d(*map(jnp.asarray, (x, offset, mask, w, b))))
+    out_p = np.asarray(plain_conv2d(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b)))
+    np.testing.assert_allclose(out_d, out_p, rtol=1e-4, atol=1e-4)
+
+
+def test_half_mask_scales_output():
+    rng = np.random.RandomState(1)
+    x, w, _, offset, mask = _setup(rng)
+    full = np.asarray(deform_conv2d(*map(jnp.asarray, (x, offset, mask, w))))
+    half = np.asarray(deform_conv2d(*map(jnp.asarray,
+                                         (x, offset, mask * 0.5, w))))
+    np.testing.assert_allclose(half, full * 0.5, rtol=1e-4, atol=1e-5)
+
+
+def test_integer_offset_shifts_sampling():
+    """Offsetting every tap by (0, +1) equals convolving the x-shifted image
+    (interior pixels)."""
+    rng = np.random.RandomState(2)
+    x, w, _, offset, mask = _setup(rng, H=8, W=10)
+    offset[..., 1] = 1.0  # dx = +1 on every tap
+    out = np.asarray(deform_conv2d(*map(jnp.asarray, (x, offset, mask, w))))
+    x_shift = np.zeros_like(x)
+    x_shift[:, :, :-1] = x[:, :, 1:]
+    ref = np.asarray(plain_conv2d(jnp.asarray(x_shift), jnp.asarray(w)))
+    # interior only: border columns see different zero-padding
+    np.testing.assert_allclose(out[:, 1:-1, 1:-2], ref[:, 1:-1, 1:-2],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fractional_offset_bilinear():
+    """A 1x1 'conv' with fractional offset reproduces bilinear interpolation."""
+    x = np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1)
+    w = np.ones((1, 1, 1, 1), np.float32)
+    offset = np.zeros((1, 4, 4, 1, 2), np.float32)
+    offset[..., 0] = 0.5  # dy
+    offset[..., 1] = 0.25  # dx
+    mask = np.ones((1, 4, 4, 1), np.float32)
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(w),
+                                   stride=1, padding=0))
+    # sample at (y+0.5, x+0.25): rows step by 4, cols by 1
+    expected = x[0, :, :, 0] + 0.5 * 4 + 0.25
+    # out-of-range rows/cols partially zero-padded; check interior
+    np.testing.assert_allclose(out[0, :3, :3, 0], expected[:3, :3], rtol=1e-5)
+
+
+def test_gradients_match_finite_differences():
+    """DCNv2/test.py gradcheck analogue for input, offset, mask, weight."""
+    rng = np.random.RandomState(3)
+    B, H, W, Cin, Cout, k = 1, 5, 6, 2, 3, 3
+    x = rng.randn(B, H, W, Cin).astype(np.float64)
+    w = (rng.randn(k, k, Cin, Cout) * 0.3).astype(np.float64)
+    b = rng.randn(Cout).astype(np.float64)
+    offset = (rng.randn(B, H, W, k * k, 2) * 0.4).astype(np.float64)
+    mask = (rng.rand(B, H, W, k * k) * 0.8 + 0.1).astype(np.float64)
+    g = rng.randn(B, H, W, Cout).astype(np.float64)
+
+    def f(x_, o_, m_, w_, b_):
+        out = deform_conv2d(x_, o_, m_, w_, b_)
+        return jnp.sum(out * g)
+
+    with jax.enable_x64(True):
+        args = [jnp.asarray(a, jnp.float64) for a in (x, offset, mask, w, b)]
+        g = jnp.asarray(g, jnp.float64)
+        grads = jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+        eps = 1e-5
+        for ai, name in [(0, "x"), (1, "offset"), (2, "mask"), (3, "w"),
+                         (4, "b")]:
+            a = np.array(args[ai], np.float64)
+            flat = a.reshape(-1)
+            # probe a handful of coordinates
+            idxs = rng.choice(flat.size, size=min(8, flat.size), replace=False)
+            for i in idxs:
+                ap, am = flat.copy(), flat.copy()
+                ap[i] += eps
+                am[i] -= eps
+                args_p = list(args)
+                args_m = list(args)
+                args_p[ai] = jnp.asarray(ap.reshape(a.shape))
+                args_m[ai] = jnp.asarray(am.reshape(a.shape))
+                num = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+                ana = float(np.asarray(grads[ai]).reshape(-1)[i])
+                assert num == pytest.approx(ana, rel=2e-3, abs=2e-4), (
+                    name, i, num, ana)
+
+
+def test_stride_two():
+    rng = np.random.RandomState(4)
+    B, H, W, Cin, Cout = 1, 8, 8, 3, 4
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    w = (rng.randn(3, 3, Cin, Cout) * 0.2).astype(np.float32)
+    offset = np.zeros((B, 4, 4, 9, 2), np.float32)
+    mask = np.ones((B, 4, 4, 9), np.float32)
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(w),
+                                   stride=2, padding=1))
+    ref = np.asarray(plain_conv2d(jnp.asarray(x), jnp.asarray(w), stride=2))
+    assert out.shape == (1, 4, 4, Cout)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

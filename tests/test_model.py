@@ -1,0 +1,128 @@
+"""Model shape tests (reference testModel.py analogue) on tiny inputs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from side_tpu.config import Config
+from side_tpu.models.dla import FeatureExtractor
+from side_tpu.models.stereo_net import StereoNet, init_stereo_net
+from side_tpu.models.cost_volume import proposal_shift, build_cost_volume
+
+H, W = 64, 128  # tiny input so CPU compiles stay fast
+K = 6
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = Config(input_h=H, input_w=W, compute_dtype="float32", K=8)
+    model = StereoNet(heads=dict(cfg.heads), roi_size=4, max_objs=K,
+                      topk=8, down_ratio=4, input_w=W, dtype=jnp.float32)
+    variables = init_stereo_net(model, jax.random.PRNGKey(0), H, W, K)
+    return model, variables
+
+
+def _batch(B=1):
+    rng = np.random.RandomState(0)
+    return {
+        "input": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+        "input_right": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+        "fb": jnp.full((B,), 380.0, jnp.float32),
+    }
+
+
+def test_backbone_output_shape():
+    fe = FeatureExtractor(down_ratio=4, dtype=jnp.float32)
+    x = jnp.zeros((1, H, W, 3))
+    vs = fe.init(jax.random.PRNGKey(0), x)
+    y = fe.apply(vs, x)
+    assert y.shape == (1, H // 4, W // 4, 64)
+
+
+def test_head_shapes(model_and_vars):
+    model, variables = model_and_vars
+    target = (jnp.zeros((1, K, 4)), jnp.zeros((1, K, 4)),
+              jnp.zeros((1, K), bool))
+    out = model.apply(variables, _batch(), use_cost_volume=True,
+                      target=target, train=False)
+    Ho, Wo = H // 4, W // 4
+    assert out["hm"].shape == (1, Ho, Wo, 3)
+    assert out["wh"].shape == (1, Ho, Wo, 3)
+    assert out["reg"].shape == (1, Ho, Wo, 3)
+    assert out["dim"].shape == (1, Ho, Wo, 3)
+    assert out["orien"].shape == (1, Ho, Wo, 2)
+    assert out["kept_type"].shape == (1, Ho, Wo, 6 * 28)
+    assert out["depth"].shape == (1, K, 1)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_hm_head_bias_init(model_and_vars):
+    """hm final bias must start at -2.19 (stereo_network_old.py:300)."""
+    _, variables = model_and_vars
+    hm_params = variables["params"]["hm"]
+    final_conv = [v for k, v in sorted(hm_params.items())][-1]
+    np.testing.assert_allclose(np.asarray(final_conv["bias"]), -2.19,
+                               atol=1e-6)
+
+
+def test_depth_masked_by_validity(model_and_vars):
+    model, variables = model_and_vars
+    boxes = np.zeros((1, K, 4), np.float32)
+    boxes[0, 0] = [4, 4, 20, 14]
+    boxes[0, 1] = [8, 2, 26, 12]
+    valid = np.zeros((1, K), bool)
+    valid[0, :2] = True
+    out = model.apply(variables, _batch(), use_cost_volume=True,
+                      target=(jnp.asarray(boxes), jnp.asarray(boxes),
+                              jnp.asarray(valid)), train=False)
+    depth = np.asarray(out["depth"])
+    assert (depth[0, :2, 0] > 0).all()
+    np.testing.assert_allclose(depth[0, 2:, 0], 0.0)
+
+
+def test_no_cost_volume_path(model_and_vars):
+    model, variables = model_and_vars
+    out = model.apply(variables, _batch(), use_cost_volume=False, train=False)
+    assert "depth" not in out
+
+
+def test_inference_uses_decoded_boxes(model_and_vars):
+    """target=None must route through bbox_decode without shape errors."""
+    model, variables = model_and_vars
+    out = model.apply(variables, _batch(), use_cost_volume=True, target=None,
+                      train=False)
+    assert out["depth"].shape == (1, 8, 1)  # topk slots
+
+
+def test_proposal_shift_geometry():
+    fb = jnp.asarray([380.0])
+    bbox = jnp.asarray([[[10.0, 5.0, 30.0, 15.0]]])
+    rl, rr, depth_bin = proposal_shift(bbox, bbox, fb, 4, feat_w=80)
+    rl, rr, depth_bin = map(np.asarray, (rl, rr, depth_bin))
+    assert rl.shape == (1, 1, 4, 4) and depth_bin.shape == (1, 1, 4)
+    # bins descend from DEPTH_MAX to the box-size prior
+    assert depth_bin[0, 0, 0] == pytest.approx(87.0)
+    prior = np.clip(380.0 / (20 * 0.9 * 4), 1.0, 87.0)
+    assert depth_bin[0, 0, -1] == pytest.approx(prior, rel=1e-5)
+    # left rois shift right, right rois shift left, more for nearer bins
+    disp = 380.0 / depth_bin / 8.0
+    np.testing.assert_allclose(rl[0, 0, :, 0], 10 + disp[0, 0], rtol=1e-5)
+    np.testing.assert_allclose(rr[0, 0, :, 0], 10 - disp[0, 0], rtol=1e-5)
+    # y coords unchanged
+    np.testing.assert_allclose(rl[0, 0, :, 1], 5.0)
+    np.testing.assert_allclose(rr[0, 0, :, 3], 15.0)
+
+
+def test_build_cost_volume_left_minus_right():
+    rng = np.random.RandomState(0)
+    fl = jnp.asarray(rng.randn(1, 16, 20, 32), jnp.float32)
+    fr = jnp.asarray(rng.randn(1, 16, 20, 32), jnp.float32)
+    rois = jnp.asarray(np.tile([[2.0, 2.0, 10.0, 10.0]], (1, 2, 3, 1)))
+    cost = build_cost_volume(fl, fr, rois, rois, 4)
+    assert cost.shape == (2, 3, 4, 4, 96)
+    c = np.asarray(cost)
+    np.testing.assert_allclose(c[..., 64:], c[..., :32] - c[..., 32:64],
+                               rtol=1e-4, atol=1e-5)

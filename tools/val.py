@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Full-split evaluation (reference: /root/reference/src/testVal.py; pass
+--num_images 50 for the testVal50.py smoke mode).
+
+    python tools/val.py stereo --data_dir data --load_model exp/.../model_last.npz
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import cv2
+import numpy as np
+
+from side_tpu.config import Config, CLASS_NAMES
+from side_tpu.data.dataset import StereoKitti
+from side_tpu.postprocess.post_process import save_kitti_results
+from side_tpu.runtime.detector import Detector
+from side_tpu.runtime.logger import AverageMeter
+
+
+def run_eval(save_dir: str, gt_dir: str):
+    """Shell out to the C++ offline evaluator (stereoDataset.py:333-337)."""
+    binary = os.path.join(os.path.dirname(__file__), "kitti_eval",
+                          "evaluate_object_3d_offline")
+    if not os.path.exists(binary):
+        print(f"[val] evaluator binary missing at {binary}; "
+              "build with: make -C tools/kitti_eval")
+        return None
+    cmd = [binary, gt_dir, os.path.join(save_dir, "results")]
+    print("[val] running:", " ".join(cmd))
+    return subprocess.run(cmd, capture_output=False)
+
+
+def main():
+    # pull our extra flag, forward the rest to Config.cli
+    argv = sys.argv[1:]
+    num_images = -1
+    no_align = False
+    rest = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--num_images":
+            num_images = int(argv[i + 1]); i += 2
+        elif argv[i] == "--no_align":
+            no_align = True; i += 1
+        elif argv[i] == "--no_eval":
+            rest.append(argv[i]); i += 1
+        else:
+            rest.append(argv[i]); i += 1
+    do_eval = "--no_eval" not in rest
+    rest = [a for a in rest if a != "--no_eval"]
+    cfg = Config.cli(rest)
+
+    ds = StereoKitti(cfg, "val")
+    detector = Detector(cfg)
+
+    meters = {k: AverageMeter() for k in
+              ["tot", "load", "pre", "net", "dec", "post", "merge"]}
+    results = {}
+    n = len(ds.images) if num_images < 0 else min(num_images, len(ds.images))
+    for ind in range(n):
+        img_id = ds.images[ind]
+        info = ds.coco.images[img_id]
+        lp = os.path.join(ds.img_dir, info["file_name"])
+        rp = os.path.join(ds.img_right_dir, info["file_name"])
+        ret = detector.run([lp, rp], image_id=img_id, calib=info["calib"],
+                           run_align=not no_align)
+        results[img_id] = ret["results"]
+        msg = f"[{ind + 1}/{n}] {img_id:06d} "
+        for k in meters:
+            meters[k].update(ret[k])
+            msg += f"|{k} {ret[k]:.3f}s ({meters[k].avg:.3f}s) "
+        print(msg, flush=True)
+
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    save_kitti_results(results, cfg.save_dir, CLASS_NAMES)
+    print(f"[val] wrote results to {cfg.save_dir}/results")
+    if do_eval and num_images < 0:
+        gt_dir = os.path.join(cfg.data_dir, "kitti", "training", "label_2")
+        run_eval(cfg.save_dir, gt_dir)
+
+
+if __name__ == "__main__":
+    main()
