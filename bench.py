@@ -6,6 +6,11 @@ stereo DLA-34 backbone (both views), all heads, object-conditioned cost
 volume + instance-depth head, and the CenterNet decode — i.e. everything the
 reference times as `net`+`dec` (stereoDetector.py:84-103).
 
+Timing is dependency-chained: the whole measurement loop is ONE jitted
+`lax.scan` whose carry perturbs the next iteration's input with the previous
+iteration's output, so no dispatch pipelining or caching can fake the
+number; wall-clock covers `iters` strictly serial full-model executions.
+
 Baseline: the only in-repo citable latency is the inherited monocular
 CenterNet `ddd_3dop` at 31 ms/image on a TITAN Xp
 (/root/reference/readme/MODEL_ZOO.md:80-83) => 32.26 img/s; vs_baseline is
@@ -30,27 +35,52 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import entry
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
     fn, (variables, batch) = entry()
-    # rebatch for throughput
     batch = {k: jnp.concatenate([v] * batch_size, axis=0)
              for k, v in batch.items()}
-    jit_fn = jax.jit(fn, donate_argnums=())
 
-    out = jax.block_until_ready(jit_fn(variables, batch))  # compile
-    # warmup
-    for _ in range(3):
-        out = jit_fn(variables, batch)
-    jax.block_until_ready(out)
+    def chained(variables, batch, n):
+        def step(carry, _):
+            b = dict(batch)
+            b["input"] = batch["input"] + carry
+            dets, dets_r, info = fn(variables, b)
+            # tiny data dependency onto the next iteration
+            new_carry = (dets[0, 0, 4] * 1e-6).astype(batch["input"].dtype)
+            return new_carry, dets[0, 0, 4]
+        _, scores = jax.lax.scan(step, jnp.zeros((), batch["input"].dtype),
+                                 None, length=n)
+        return scores
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jit_fn(variables, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    run = jax.jit(chained, static_argnames=("n",))
 
-    pairs_per_sec = iters * batch_size / dt
+    # This image's remote-execution relay can serve repeat executions from a
+    # cache, so warm-up-then-time is unreliable.  Instead, time ONE cold
+    # execution each of an n_small-step and an n_big-step chained scan and
+    # take the difference: per-call overheads (H2D, RPC, dispatch) cancel,
+    # leaving (n_big - n_small) strictly serial full-model steps.
+    n_small = max(2, iters // 10)
+    n_big = iters
+
+    def timed(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(variables, batch, n))
+        return time.perf_counter() - t0
+
+    # compile both lengths first (compile time must not pollute the timing)
+    jax.block_until_ready(run(variables, batch, n_small))
+    jax.block_until_ready(run(variables, batch, n_big))
+    # fresh input values so neither timed call can be served from cache
+    batch = dict(batch)
+    batch["input"] = jax.block_until_ready(
+        batch["input"] + np.float32(os.getpid() % 97) * 1e-4)
+    t_small = timed(n_small)
+    batch["input"] = jax.block_until_ready(batch["input"] + 1e-4)
+    t_big = timed(n_big)
+
+    dt = max(t_big - t_small, 1e-9)
+    pairs_per_sec = (n_big - n_small) * batch_size / dt
     baseline_img_per_sec = 1.0 / 0.031  # TITAN Xp CenterNet ddd (MODEL_ZOO)
     print(json.dumps({
         "metric": "kitti_stereo_infer_pairs_per_sec_per_chip",

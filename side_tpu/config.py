@@ -118,6 +118,9 @@ class Config:
     max_objs: int = MAX_OBJS
     # use gradient checkpointing on the backbone
     remat: bool = False
+    # instance-depth estimator: "cost_volume" (stereo_network_old) or
+    # "voxel" (stereo_network_new voxel+PointNet variant)
+    depth_variant: str = "cost_volume"
 
     # derived ---------------------------------------------------------------
     @property
@@ -243,6 +246,8 @@ class Config:
         p.add_argument("--num_devices", type=int, default=0)
         p.add_argument("--compute_dtype", default="bfloat16")
         p.add_argument("--remat", action="store_true")
+        p.add_argument("--depth_variant", default="cost_volume",
+                       choices=["cost_volume", "voxel"])
         a = p.parse_args(argv)
 
         input_h = a.input_h if a.input_h > 0 else (
@@ -277,4 +282,5 @@ class Config:
             center_thresh=a.center_thresh, data_dir=a.data_dir,
             exp_dir=a.exp_dir, num_devices=a.num_devices,
             compute_dtype=a.compute_dtype, remat=a.remat,
+            depth_variant=a.depth_variant,
         )

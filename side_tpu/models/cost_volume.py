@@ -76,15 +76,20 @@ def build_cost_volume(feat_left: jnp.ndarray, feat_right: jnp.ndarray,
     Returns (B*K, D, R, R, 3C) = concat(left, right, left-right).
     """
     B, K, D, _ = rois_left.shape
-    N = B * K * D
-    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K * D)
-    rl = rois_left.reshape(N, 4)
-    rr = rois_right.reshape(N, 4)
-    pl = roi_align(feat_left, rl, batch_idx, roi_size, 1.0, 2)
-    pr = roi_align(feat_right, rr, batch_idx, roi_size, 1.0, 2)
-    cost = jnp.concatenate([pl, pr, pl - pr], axis=-1)     # (N, R, R, 3C)
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
     R = roi_size
-    return cost.reshape(B * K, D, R, R, 3 * feat_left.shape[-1])
+
+    def per_bin(rois_d):
+        rl, rr = rois_d
+        pl = roi_align(feat_left, rl.reshape(B * K, 4), batch_idx, R, 1.0, 2)
+        pr = roi_align(feat_right, rr.reshape(B * K, 4), batch_idx, R, 1.0, 2)
+        return jnp.concatenate([pl, pr, pl - pr], axis=-1)  # (B*K, R, R, 3C)
+
+    # loop over depth bins (lax.map) to bound the RoIAlign working set —
+    # D=16 bins of (B*K) rois each instead of one B*K*D gather
+    cost = jax.lax.map(per_bin, (rois_left.transpose(2, 0, 1, 3),
+                                 rois_right.transpose(2, 0, 1, 3)))
+    return cost.transpose(1, 0, 2, 3, 4)  # (B*K, D, R, R, 3C)
 
 
 class ConvBN3D(nn.Module):

@@ -24,6 +24,13 @@ def create_model(cfg: Config):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     if family == "dla":
+        if cfg.depth_variant == "voxel":
+            from .voxel_net import StereoVoxelNet
+            return StereoVoxelNet(heads=dict(cfg.heads),
+                                  max_objs=cfg.max_objs, topk=cfg.K,
+                                  down_ratio=cfg.down_ratio,
+                                  input_w=cfg.input_w, input_h=cfg.input_h,
+                                  dtype=dtype)
         return StereoNet(heads=dict(cfg.heads), roi_size=cfg.roi_size,
                          max_objs=cfg.max_objs, topk=cfg.K,
                          down_ratio=cfg.down_ratio, input_w=cfg.input_w,
@@ -31,5 +38,13 @@ def create_model(cfg: Config):
     if family == "resdcn":
         from .resnet_dcn import StereoResNet
         return StereoResNet(heads=dict(cfg.heads), num_layers=num_layers,
-                            dtype=dtype)
+                            head_conv=cfg.head_conv, dtype=dtype)
+    if family == "res":
+        from .legacy import MonoResNet
+        return MonoResNet(heads=dict(cfg.heads), num_layers=num_layers,
+                          head_conv=cfg.head_conv, dtype=dtype)
+    if family == "dlav0":
+        from .legacy import MonoDLA
+        return MonoDLA(heads=dict(cfg.heads), head_conv=cfg.head_conv,
+                       down_ratio=cfg.down_ratio, dtype=dtype)
     raise ValueError(f"unknown arch {cfg.arch!r}")

@@ -135,14 +135,24 @@ class StereoNet(nn.Module):
         return out
 
 
-def init_stereo_net(model: StereoNet, rng, input_h: int, input_w: int,
+def init_stereo_net(model, rng, input_h: int, input_w: int,
                     max_objs: int = 50):
-    """Initialise variables with a minimal fake batch."""
+    """Initialise variables with a minimal fake batch (works for both the
+    cost-volume and the voxel depth variants)."""
     B = 1
+    p2 = jnp.asarray([[[700.0, 0, input_w / 2, 40.0],
+                       [0, 700.0, input_h / 2, 0.0],
+                       [0, 0, 1, 0]]], jnp.float32)
+    p3 = p2.at[:, 0, 3].add(-380.0)
     batch = {
         "input": jnp.zeros((B, input_h, input_w, 3), jnp.float32),
         "input_right": jnp.zeros((B, input_h, input_w, 3), jnp.float32),
         "fb": jnp.full((B,), 380.0, jnp.float32),
+        "p2": p2, "p3": p3,
+        "trans": jnp.tile(jnp.asarray([[[0.25, 0, 0], [0, 0.25, 0]]],
+                                      jnp.float32), (B, 1, 1)),
+        "trans_inv": jnp.tile(jnp.asarray([[[4.0, 0, 0], [0, 4.0, 0]]],
+                                          jnp.float32), (B, 1, 1)),
     }
     K = max_objs
     target = (jnp.zeros((B, K, 4)), jnp.zeros((B, K, 4)),

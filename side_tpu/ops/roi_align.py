@@ -56,21 +56,27 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, batch_idx: jnp.ndarray,
     y1i = jnp.minimum(y0 + 1, H - 1)
     x1i = jnp.minimum(x0 + 1, W - 1)
 
-    feat_flat = feat.reshape(B, H * W, C)
-    per_roi = jnp.take(feat_flat, batch_idx.astype(jnp.int32), axis=0)
+    # one global gather over (B*H*W, C): folding the batch index into the
+    # plane index avoids materialising a per-roi copy of the feature map
+    feat_flat = feat.reshape(B * H * W, C)
+    base = batch_idx.astype(jnp.int32) * (H * W)
 
     def gather(yi, xi):
         # (N, P*S, P*S) flattened plane indices -> (N, (P*S)^2, C)
-        idx = (yi[:, :, None] * W + xi[:, None, :]).reshape(N, -1)
-        return jnp.take_along_axis(per_roi, idx[..., None], axis=1)
+        idx = (base[:, None, None] + yi[:, :, None] * W +
+               xi[:, None, :]).reshape(N, -1)
+        return jnp.take(feat_flat, idx, axis=0)
 
+    # bilinear weights in the feature dtype so bf16 features stay bf16
+    dt = feat.dtype
     w00 = ((1 - fy)[:, :, None] * (1 - fx)[:, None, :]).reshape(N, -1, 1)
     w01 = ((1 - fy)[:, :, None] * fx[:, None, :]).reshape(N, -1, 1)
     w10 = (fy[:, :, None] * (1 - fx)[:, None, :]).reshape(N, -1, 1)
     w11 = (fy[:, :, None] * fx[:, None, :]).reshape(N, -1, 1)
 
-    val = (gather(y0, x0) * w00 + gather(y0, x1i) * w01 +
-           gather(y1i, x0) * w10 + gather(y1i, x1i) * w11)
+    val = (gather(y0, x0) * w00.astype(dt) + gather(y0, x1i) * w01.astype(dt) +
+           gather(y1i, x0) * w10.astype(dt) +
+           gather(y1i, x1i) * w11.astype(dt))
 
     valid = (vy[:, :, None] & vx[:, None, :]).reshape(N, -1, 1)
     val = val * valid.astype(val.dtype)

@@ -88,7 +88,12 @@ class Detector:
             x = (x.astype(np.float32) / 255.0 - self.mean) / self.std
             return x[None]  # NHWC
 
-        meta = {"c": c, "s": s, "calib": calib}
+        trans_out = G.get_affine_transform(
+            c, s, 0, [cfg.output_w, cfg.output_h])
+        trans_inv = G.get_affine_transform(
+            c, s, 0, [cfg.output_w, cfg.output_h], inv=True)
+        meta = {"c": c, "s": s, "calib": calib, "trans": trans_out,
+                "trans_inv": trans_inv}
         return prep(image), prep(image_right), meta
 
     def process(self, batch):
@@ -124,6 +129,11 @@ class Detector:
             "input_right": jnp.asarray(inp_right),
             "fb": jnp.asarray(
                 [np.float32(_fb_from_calib(calib))], jnp.float32),
+            "p2": jnp.asarray(np.asarray(calib[2], np.float32)[None]),
+            "p3": jnp.asarray(np.asarray(calib[3], np.float32)[None]),
+            "trans": jnp.asarray(meta["trans"].astype(np.float32)[None]),
+            "trans_inv": jnp.asarray(
+                meta["trans_inv"].astype(np.float32)[None]),
         }
         jax.block_until_ready(batch["input"])
         t_pre = time.time()

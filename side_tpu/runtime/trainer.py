@@ -37,7 +37,8 @@ class TrainState(NamedTuple):
 
 
 BATCH_KEYS = ("input", "input_right", "hm", "wh", "reg", "dim", "orien",
-              "depth", "kept", "ind", "ind_float", "rot_mask", "fb")
+              "depth", "kept", "ind", "ind_float", "rot_mask", "fb",
+              "p2", "p3", "trans", "trans_inv")
 
 
 class Trainer:

@@ -1,0 +1,111 @@
+"""Voxel + PointNet depth variant (stereo_network_new analogue)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from side_tpu.config import Config
+from side_tpu.models.voxel_net import (StereoVoxelNet, disparity_depth,
+                                       voxel_coords, grid_sample_feats,
+                                       VOXEL_RES)
+from side_tpu.models.stereo_net import init_stereo_net
+
+H, W, K = 64, 128, 3
+
+
+def _geometry(B=1):
+    f = 200.0
+    p2 = np.array([[[f, 0, W / 2, 0.0], [0, f, H / 2, 0.0], [0, 0, 1, 0]]],
+                  np.float32)
+    p3 = p2.copy()
+    p3[:, 0, 3] = -f * 0.5   # baseline 0.5 m
+    trans = np.tile(np.array([[[0.25, 0, 0], [0, 0.25, 0]]], np.float32),
+                    (B, 1, 1))
+    trans_inv = np.tile(np.array([[[4.0, 0, 0], [0, 4.0, 0]]], np.float32),
+                        (B, 1, 1))
+    fb = np.full((B,), f * 0.5, np.float32)
+    return p2, p3, trans, trans_inv, fb
+
+
+def test_disparity_depth_matches_geometry():
+    p2, p3, trans, trans_inv, fb = _geometry()
+    z_true = 10.0
+    disp_full = fb[0] / z_true          # original pixels
+    # feature-res boxes with center disparity disp_full/4
+    cx_l, cx_r = 16.0, 16.0 - disp_full / 4
+    bbox = jnp.asarray([[[cx_l - 2, 4, cx_l + 2, 8]]])
+    bbox_r = jnp.asarray([[[cx_r - 2, 4, cx_r + 2, 8]]])
+    d = np.asarray(disparity_depth(bbox, bbox_r, jnp.asarray(fb),
+                                   jnp.asarray(trans_inv)))
+    assert d[0, 0] == pytest.approx(z_true, rel=1e-4)
+
+
+def test_voxel_coords_structure():
+    p2, p3, trans, trans_inv, fb = _geometry()
+    disp4 = fb[0] / 12.0 / 4
+    bbox = np.zeros((1, K, 4), np.float32)
+    bbox_r = np.zeros((1, K, 4), np.float32)
+    bbox[0, 0] = [14, 4, 18, 8]
+    bbox_r[0, 0] = bbox[0, 0] - [disp4, 0, disp4, 0]
+    cl, cr, vl, vr, depth_ori = voxel_coords(
+        jnp.asarray(bbox), jnp.asarray(bbox_r), jnp.asarray(fb),
+        jnp.asarray(p2), jnp.asarray(p3), jnp.asarray(trans),
+        jnp.asarray(trans_inv), W // 4, H // 4)
+    V = VOXEL_RES ** 3
+    assert cl.shape == (1, K, V, 2) and vl.shape == (1, K, V)
+    assert float(depth_ori[0, 0]) == pytest.approx(12.0, rel=1e-3)
+    # stereo: right-view voxel u coords sit left of left-view ones
+    dl = np.asarray(cl[0, 0, :, 0]) - np.asarray(cr[0, 0, :, 0])
+    assert (dl[np.asarray(vl[0, 0]) & np.asarray(vr[0, 0])] > 0).all()
+
+
+def test_grid_sample_feats_bilinear():
+    feat = np.zeros((1, 8, 8, 2), np.float32)
+    feat[0, :, :, 0] = np.arange(8)[None, :]  # channel 0 == u coordinate
+    coords = np.array([[[[2.5, 3.0], [0.0, 0.0], [100.0, 3.0]]]], np.float32)
+    valid = np.array([[[True, True, False]]])
+    out = np.asarray(grid_sample_feats(jnp.asarray(feat), jnp.asarray(coords),
+                                       jnp.asarray(valid)))
+    assert out[0, 0, 0, 0] == pytest.approx(2.5)
+    assert out[0, 0, 1, 0] == pytest.approx(0.0)
+    np.testing.assert_allclose(out[0, 0, 2], 0.0)  # invalid masked
+
+
+@pytest.mark.slow
+def test_voxel_net_forward_shapes():
+    cfg = Config(input_h=H, input_w=W, compute_dtype="float32",
+                 depth_variant="voxel", max_objs=K, K=4)
+    model = StereoVoxelNet(heads=dict(cfg.heads), max_objs=K, topk=4,
+                           down_ratio=4, input_w=W, input_h=H,
+                           dtype=jnp.float32)
+    variables = init_stereo_net(model, jax.random.PRNGKey(0), H, W, K)
+    rng = np.random.RandomState(0)
+    p2, p3, trans, trans_inv, fb = _geometry()
+    batch = {
+        "input": jnp.asarray(rng.randn(1, H, W, 3), jnp.float32),
+        "input_right": jnp.asarray(rng.randn(1, H, W, 3), jnp.float32),
+        "fb": jnp.asarray(fb), "p2": jnp.asarray(p2), "p3": jnp.asarray(p3),
+        "trans": jnp.asarray(trans), "trans_inv": jnp.asarray(trans_inv),
+    }
+    boxes = np.zeros((1, K, 4), np.float32)
+    boxes[0, 0] = [10, 4, 20, 12]
+    boxes[0, 1] = [14, 6, 24, 14]
+    valid = np.zeros((1, K), bool)
+    valid[0, :2] = True
+    disp4 = fb[0] / 15.0 / 4
+    boxes_r = boxes - np.array([disp4, 0, disp4, 0], np.float32)
+    out = model.apply(variables, batch, use_cost_volume=True,
+                      target=(jnp.asarray(boxes), jnp.asarray(boxes_r),
+                              jnp.asarray(valid)), train=False)
+    assert out["depth"].shape == (1, K, 1)
+    d = np.asarray(out["depth"])
+    assert np.isfinite(d).all()
+    # valid slots near the disparity depth (residual is small at init)
+    assert abs(d[0, 0, 0] - 15.0) < 10.0
+    np.testing.assert_allclose(d[0, 2:, 0], 0.0)
+    # factory route
+    from side_tpu.models import create_model
+    m2 = create_model(cfg)
+    assert isinstance(m2, StereoVoxelNet)
