@@ -53,31 +53,29 @@ def main():
                                  None, length=n)
         return scores
 
-    run = jax.jit(chained, static_argnames=("n",))
-
-    # This image's remote-execution relay can serve repeat executions from a
-    # cache, so warm-up-then-time is unreliable.  Instead, time ONE cold
-    # execution each of an n_small-step and an n_big-step chained scan and
-    # take the difference: per-call overheads (H2D, RPC, dispatch) cancel,
-    # leaving (n_big - n_small) strictly serial full-model steps.
+    # Through this image's remote-execution relay, `block_until_ready` does
+    # NOT wait for device completion — only a host fetch truly synchronises
+    # (calibrated with chained 8192^3 matmuls: fetch-synced timing lands at
+    # ~173 bf16 TFLOP/s, i.e. v5e peak).  So every timing below brackets a
+    # dispatch + SCALAR FETCH, and two scan lengths cancel the constant
+    # dispatch/fetch overhead.
     n_small = max(2, iters // 10)
     n_big = iters
+    jit_run = jax.jit(chained, static_argnames=("n",))
+    c_small = jit_run.lower(variables, batch, n=n_small).compile()
+    c_big = jit_run.lower(variables, batch, n=n_big).compile()
 
-    def timed(n):
+    def fetch_timed(compiled):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(variables, batch, n))
+        scores = compiled(variables, batch)
+        float(jnp.sum(scores))          # forces execution + host fetch
         return time.perf_counter() - t0
 
-    # compile both lengths first (compile time must not pollute the timing)
-    jax.block_until_ready(run(variables, batch, n_small))
-    jax.block_until_ready(run(variables, batch, n_big))
-    # fresh input values so neither timed call can be served from cache
-    batch = dict(batch)
-    batch["input"] = jax.block_until_ready(
-        batch["input"] + np.float32(os.getpid() % 97) * 1e-4)
-    t_small = timed(n_small)
-    batch["input"] = jax.block_until_ready(batch["input"] + 1e-4)
-    t_big = timed(n_big)
+    fetch_timed(c_small)                # absorb one-time transfer setup
+    t_small = min(fetch_timed(c_small) for _ in range(2))
+    t_big = min(fetch_timed(c_big) for _ in range(2))
+    print(f"[bench] n_small={n_small}: {t_small:.3f}s  "
+          f"n_big={n_big}: {t_big:.3f}s", file=sys.stderr)
 
     dt = max(t_big - t_small, 1e-9)
     pairs_per_sec = (n_big - n_small) * batch_size / dt

@@ -122,6 +122,13 @@ class Config:
     # "voxel" (stereo_network_new voxel+PointNet variant)
     depth_variant: str = "cost_volume"
 
+    # ground-truth oracle ablations (opts.py:211-225 — parsed for CLI parity;
+    # like the reference's stereo path, currently not consumed downstream)
+    eval_oracle_hm: bool = False
+    eval_oracle_wh: bool = False
+    eval_oracle_offset: bool = False
+    eval_oracle_dep: bool = False
+
     # derived ---------------------------------------------------------------
     @property
     def output_h(self) -> int:
@@ -248,6 +255,10 @@ class Config:
         p.add_argument("--remat", action="store_true")
         p.add_argument("--depth_variant", default="cost_volume",
                        choices=["cost_volume", "voxel"])
+        p.add_argument("--eval_oracle_hm", action="store_true")
+        p.add_argument("--eval_oracle_wh", action="store_true")
+        p.add_argument("--eval_oracle_offset", action="store_true")
+        p.add_argument("--eval_oracle_dep", action="store_true")
         a = p.parse_args(argv)
 
         input_h = a.input_h if a.input_h > 0 else (
@@ -283,4 +294,7 @@ class Config:
             exp_dir=a.exp_dir, num_devices=a.num_devices,
             compute_dtype=a.compute_dtype, remat=a.remat,
             depth_variant=a.depth_variant,
+            eval_oracle_hm=a.eval_oracle_hm, eval_oracle_wh=a.eval_oracle_wh,
+            eval_oracle_offset=a.eval_oracle_offset,
+            eval_oracle_dep=a.eval_oracle_dep,
         )

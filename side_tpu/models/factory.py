@@ -34,7 +34,8 @@ def create_model(cfg: Config):
         return StereoNet(heads=dict(cfg.heads), roi_size=cfg.roi_size,
                          max_objs=cfg.max_objs, topk=cfg.K,
                          down_ratio=cfg.down_ratio, input_w=cfg.input_w,
-                         wh_scale=cfg.wh_scale, dtype=dtype)
+                         wh_scale=cfg.wh_scale, dtype=dtype,
+                         remat=cfg.remat)
     if family == "resdcn":
         from .resnet_dcn import StereoResNet
         return StereoResNet(heads=dict(cfg.heads), num_layers=num_layers,

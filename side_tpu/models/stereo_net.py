@@ -67,6 +67,7 @@ class StereoNet(nn.Module):
     input_w: int = 1280
     wh_scale: float = 1.0
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialise the backbone to trade FLOPs for HBM
 
     LEFT_ONLY = ("kept_type",)
 
@@ -82,9 +83,10 @@ class StereoNet(nn.Module):
 
         # one backbone pass over both views (2B batch)
         both = jnp.concatenate([left, right], axis=0)
-        feats = FeatureExtractor(down_ratio=self.down_ratio,
-                                 dtype=self.dtype,
-                                 name="feature_extraction")(both, train)
+        fe_cls = nn.remat(FeatureExtractor, static_argnums=(2,)) \
+            if self.remat else FeatureExtractor
+        feats = fe_cls(down_ratio=self.down_ratio, dtype=self.dtype,
+                       name="feature_extraction")(both, train)
         f_left, f_right = feats[:B], feats[B:]
         f_stereo = jnp.concatenate([f_left, f_right], axis=-1)
 

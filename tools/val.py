@@ -46,6 +46,7 @@ def main():
     argv = sys.argv[1:]
     num_images = -1
     no_align = False
+    profile = False
     rest = []
     i = 0
     while i < len(argv):
@@ -53,6 +54,8 @@ def main():
             num_images = int(argv[i + 1]); i += 2
         elif argv[i] == "--no_align":
             no_align = True; i += 1
+        elif argv[i] == "--profile":
+            profile = True; i += 1
         elif argv[i] == "--no_eval":
             rest.append(argv[i]); i += 1
         else:
@@ -68,6 +71,12 @@ def main():
               ["tot", "load", "pre", "net", "dec", "post", "merge"]}
     results = {}
     n = len(ds.images) if num_images < 0 else min(num_images, len(ds.images))
+    if profile:
+        # jax.profiler trace of the inference loop (SURVEY.md §5: the
+        # reference has wall-clock stage meters only; this adds device traces)
+        prof_dir = os.path.join(cfg.save_dir, "profile")
+        os.makedirs(prof_dir, exist_ok=True)
+        jax.profiler.start_trace(prof_dir)
     for ind in range(n):
         img_id = ds.images[ind]
         info = ds.coco.images[img_id]
@@ -81,6 +90,10 @@ def main():
             meters[k].update(ret[k])
             msg += f"|{k} {ret[k]:.3f}s ({meters[k].avg:.3f}s) "
         print(msg, flush=True)
+
+    if profile:
+        jax.profiler.stop_trace()
+        print(f"[val] profile trace in {cfg.save_dir}/profile")
 
     os.makedirs(cfg.save_dir, exist_ok=True)
     save_kitti_results(results, cfg.save_dir, CLASS_NAMES)
