@@ -169,6 +169,15 @@ def rot_y_to_alpha(rot_y, x, cx, fx):
     return alpha
 
 
+def unproject_2d_to_3d(pt_2d, depth, P) -> np.ndarray:
+    """Back-project an image point at known depth through a 3x4 camera
+    matrix (reference ddd_utils.py:66-75)."""
+    z = depth - P[2, 3]
+    x = (pt_2d[0] * depth - P[0, 3] - P[0, 2] * z) / P[0, 0]
+    y = (pt_2d[1] * depth - P[1, 3] - P[1, 2] * z) / P[1, 1]
+    return np.array([x, y, z], np.float32)
+
+
 # ------------------------------------------------------------------ color aug
 def color_aug(rng: np.random.RandomState, image: np.ndarray,
               eig_val: np.ndarray, eig_vec: np.ndarray) -> None:

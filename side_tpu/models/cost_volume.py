@@ -106,6 +106,46 @@ class ConvBN3D(nn.Module):
         return nn.relu(x) if self.relu else x
 
 
+class HourglassVolume(nn.Module):
+    """Encoder/decoder 3D-CNN over a cost volume (reference submodule.py
+    cost_volume with hg=True, :33-99): two stride-2 3D conv stages and two
+    transpose-conv stages with a skip — returns a feature volume (the
+    reference feeds it to the commented voxel grid-sample path).
+
+    Volumes are NDHWC."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cost: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(x, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                dtype=jnp.float32, name=name)(x)
+
+        c = nn.relu(bn(nn.Conv(64, (3, 3, 3), padding=1, use_bias=False,
+                               kernel_init=msra_init, dtype=self.dtype,
+                               name="enc0")(cost), "enc0_bn"))
+        cost0 = nn.relu(bn(nn.Conv(128, (3, 3, 3), (2, 2, 2), padding=1,
+                                   use_bias=False, kernel_init=msra_init,
+                                   dtype=self.dtype, name="enc1")(c),
+                           "enc1_bn"))
+        c = nn.relu(bn(nn.Conv(128, (3, 3, 3), (2, 2, 2), padding=1,
+                               use_bias=False, kernel_init=msra_init,
+                               dtype=self.dtype, name="enc2")(cost0),
+                       "enc2_bn"))
+        c = nn.relu(bn(nn.Conv(128, (3, 3, 3), padding=1, use_bias=False,
+                               kernel_init=msra_init, dtype=self.dtype,
+                               name="enc3")(c), "enc3_bn"))
+        up1 = bn(nn.ConvTranspose(128, (3, 3, 3), (2, 2, 2), padding="SAME",
+                                  use_bias=False, dtype=self.dtype,
+                                  name="dec0")(c), "dec0_bn")
+        c = up1 + cost0
+        c = bn(nn.ConvTranspose(64, (3, 3, 3), (2, 2, 2), padding="SAME",
+                                use_bias=False, dtype=self.dtype,
+                                name="dec1")(c), "dec1_bn")
+        return c
+
+
 class CostVolumeNet(nn.Module):
     """3D-CNN instance-depth head with the structure-aware attention module
     (stereo_network_old.py:135-244).  Volumes are NDHWC: (N, D, H, W, C)."""

@@ -40,6 +40,10 @@ def create_model(cfg: Config):
         from .resnet_dcn import StereoResNet
         return StereoResNet(heads=dict(cfg.heads), num_layers=num_layers,
                             head_conv=cfg.head_conv, dtype=dtype)
+    if family == "dlaseg":
+        from .dla_seg import StereoDLASeg
+        return StereoDLASeg(heads=dict(cfg.heads),
+                            down_ratio=cfg.down_ratio, dtype=dtype)
     if family == "res":
         from .legacy import MonoResNet
         return MonoResNet(heads=dict(cfg.heads), num_layers=num_layers,

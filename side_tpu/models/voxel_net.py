@@ -125,12 +125,13 @@ def grid_sample_feats(feat: jnp.ndarray, coords: jnp.ndarray,
     x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
 
-    flat = feat.reshape(B, H * W, C)
+    from ..ops.deform_conv import _row_gather
+    flat = feat.reshape(B * H * W, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
 
     def g(yi, xi):
-        idx = (yi * W + xi).reshape(B, K * V)
-        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return out.reshape(B, K, V, C)
+        idx = (base + yi * W + xi).reshape(B * K * V)
+        return _row_gather(flat, idx).reshape(B, K, V, C)
 
     out = (g(y0, x0) * (1 - fy) * (1 - fx) + g(y0, x1) * (1 - fy) * fx +
            g(y1, x0) * fy * (1 - fx) + g(y1, x1) * fy * fx)

@@ -29,6 +29,83 @@ import jax.numpy as jnp
 import numpy as np
 
 
+import os as _os
+
+# bilinear-gather formulation.  Measured in the FULL backbone on v5e
+# (batch 2, 384x1280; micro-benchmarks with random indices mislead here —
+# real sample positions are near-sequential):
+#   "take_batch" per-batch jnp.take_along_axis, 4 corner gathers  229 ms
+#   "patch"      ONE lax.gather of (2, 2, C) corner patches        276 ms
+#   "gather"     row lax.gather PROMISE_IN_BOUNDS, batch folded    332 ms
+#   "take"       jnp.take(axis=0), batch folded                    380 ms
+# All are far off HBM roofline (~5 ms of traffic): XLA scalarises these
+# gathers.  A Mosaic in-kernel gather was rejected by the compiler (large
+# dynamic tables unsupported) — see tools/gather_microbench.py.
+_GATHER_MODE = _os.environ.get("SIDE_TPU_GATHER", "take_batch")
+
+
+def _row_gather(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of (R, C) at flat int32 indices (N,) -> (N, C).
+    Indices must be pre-clipped in-bounds."""
+    if _GATHER_MODE == "gather":
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+        return jax.lax.gather(
+            flat, idx[:, None], dn, slice_sizes=(1, flat.shape[1]),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return jnp.take(flat, idx, axis=0)
+
+
+def _bilinear_patch_gather(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Zero-padded bilinear sampling via ONE (2, 2, C)-patch gather per
+    sample.  x: (B, H, W, C); sy/sx: (B, P).  Returns (B, P, C).
+
+    Edge exactness: the patch start is clamped to H-2/W-2 and the fraction
+    recomputed against it, so a sample exactly on the last row/col gets
+    weight 1 on the correct pixel."""
+    B, H, W, C = x.shape
+    P = sy.shape[1]
+
+    y0f = jnp.floor(sy)
+    x0f = jnp.floor(sx)
+    fy = sy - y0f
+    fx = sx - x0f
+
+    # patch start clamped into the image; corners select PATCH-RELATIVE
+    # rows/cols so border samples still read the correct pixel
+    y0p = jnp.clip(y0f, 0, H - 2).astype(jnp.int32)
+    x0p = jnp.clip(x0f, 0, W - 2).astype(jnp.int32)
+    b_idx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, P))
+    starts = jnp.stack([b_idx, y0p, x0p], axis=-1).reshape(B * P, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    patches = jax.lax.gather(
+        x, starts, dn, slice_sizes=(1, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    patches = patches.reshape(B, P, 2, 2, C)
+
+    out = jnp.zeros((B, P, C), x.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            w = ((fy if dy else 1.0 - fy) * (fx if dx else 1.0 - fx))
+            cy = y0f + dy
+            cx = x0f + dx
+            v_ok = ((cy >= 0) & (cy <= H - 1) & (cx >= 0) & (cx <= W - 1))
+            ry = (jnp.clip(cy.astype(jnp.int32) - y0p, 0, 1) == 1)
+            rx = (jnp.clip(cx.astype(jnp.int32) - x0p, 0, 1) == 1)
+            val = jnp.where(
+                ry[..., None],
+                jnp.where(rx[..., None], patches[:, :, 1, 1],
+                          patches[:, :, 1, 0]),
+                jnp.where(rx[..., None], patches[:, :, 0, 1],
+                          patches[:, :, 0, 0]))
+            out = out + val * (w * v_ok).astype(x.dtype)[..., None]
+    return out
+
+
 def _bilinear_gather(x_flat: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
                      H: int, W: int) -> jnp.ndarray:
     """Zero-padded bilinear sampling.
@@ -36,6 +113,15 @@ def _bilinear_gather(x_flat: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     x_flat: (B, H*W, C); sy/sx: (B, P) fractional pixel coords.
     Returns (B, P, C).
     """
+    B, HW, C = x_flat.shape
+    if _GATHER_MODE == "patch":
+        return _bilinear_patch_gather(x_flat.reshape(B, H, W, C), sy, sx)
+    P = sy.shape[1]
+    per_batch = _GATHER_MODE == "take_batch"
+    if not per_batch:
+        flat = x_flat.reshape(B * HW, C)
+        base = (jnp.arange(B, dtype=jnp.int32) * HW)[:, None]
+
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
     fy = sy - y0
@@ -49,18 +135,114 @@ def _bilinear_gather(x_flat: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
         inb = ((yy >= 0) & (yy <= H - 1) & (xx >= 0) & (xx <= W - 1))
         yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
         xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
-        idx = yi * W + xi                                   # (B, P)
-        v = jnp.take_along_axis(x_flat, idx[..., None], axis=1)
+        if per_batch:
+            v = jnp.take_along_axis(x_flat, (yi * W + xi)[..., None], axis=1)
+        else:
+            idx = (base + yi * W + xi).reshape(-1)          # (B*P,)
+            v = _row_gather(flat, idx).reshape(B, P, C)
         w = (w * inb).astype(x_flat.dtype)
         term = v * w[..., None]
         out = term if out is None else out + term
     return out
 
 
+def deform_conv2d_windowed(x: jnp.ndarray, offset: jnp.ndarray,
+                           mask: jnp.ndarray, weight: jnp.ndarray,
+                           bias: Optional[jnp.ndarray] = None,
+                           stride: int = 1, padding: int = 1,
+                           dilation: int = 1, radius: int = 2) -> jnp.ndarray:
+    """Gather-free deformable conv via shift decomposition.
+
+    Bilinear sampling at (base_tap + delta) equals a sum over integer
+    shifts s of triangle-kernel weights tri(dy-s_y)*tri(dx-s_x) times the
+    STATICALLY shifted image — so with offsets clamped to [-radius, radius]
+    the whole deformable im2col becomes (2*radius+2)^2 fused elementwise
+    multiply-accumulates per tap and ZERO gathers.  XLA's gathers run at
+    ~2% of HBM roofline on TPU for this access pattern (see _GATHER_MODE
+    table); this trades them for VPU work that maps perfectly.
+
+    EXACTLY equal to `deform_conv2d` whenever every learned offset lies in
+    [-radius, radius] (true in practice: DCN offsets are zero-initialised
+    and stay small); otherwise offsets are clamped — a deliberate
+    TPU-first deviation from the unbounded reference kernel
+    (dcn_v2_im2col_cuda.cu:125), gated by SIDE_TPU_DCN mode.
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    R = radius
+
+    dy = jnp.clip(offset[..., 0].astype(jnp.float32), -R, R)  # (B,Ho,Wo,K)
+    dx = jnp.clip(offset[..., 1].astype(jnp.float32), -R, R)
+
+    # pad so that every (tap + shift) window read is a static in-bounds
+    # strided slice; zero padding reproduces the reference's border rule
+    lo = padding + R + 1
+    hi = padding + R + 1 + dilation * 2  # slack for tap extent
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+
+    def shifted(ty, tx, sy, sx):
+        """x sampled at (out*stride - padding + tap + shift) for all output
+        positions: one strided static slice of the padded image."""
+        oy = lo - padding + ty * dilation + sy
+        ox = lo - padding + tx * dilation + sx
+        return jax.lax.slice(
+            xp, (0, oy, ox, 0),
+            (B, oy + (Ho - 1) * stride + 1, ox + (Wo - 1) * stride + 1, Cin),
+            (1, stride, stride, 1))
+
+    cols = []
+    for k in range(K):
+        ty, tx = k // kw, k % kw
+        dyk = dy[..., k]
+        dxk = dx[..., k]
+        acc = jnp.zeros((B, Ho, Wo, Cin), x.dtype)
+        for sy in range(-R, R + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyk - sy))
+            for sx in range(-R, R + 2):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxk - sx))
+                w = (wy * wx).astype(x.dtype)
+                acc = acc + shifted(ty, tx, sy, sx) * w[..., None]
+        cols.append(acc * mask[..., k, None].astype(x.dtype))
+
+    cols = jnp.stack(cols, axis=3)                    # (B, Ho, Wo, K, Cin)
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    out = jax.lax.dot_general(
+        cols.reshape(B, Ho * Wo, K * Cin),
+        weight.reshape(K * Cin, Cout).astype(cols.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=acc_t)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
+
+
+# deformable-conv implementation: "exact" = gather-based (bit-faithful to
+# the reference, unbounded offsets), "windowed" = shift-decomposed with
+# offsets clamped to +-SIDE_TPU_DCN_RADIUS (default 2) — the fast TPU path
+_DCN_MODE = _os.environ.get("SIDE_TPU_DCN", "exact")
+_DCN_RADIUS = int(_os.environ.get("SIDE_TPU_DCN_RADIUS", "2"))
+
+
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
                   stride: int = 1, padding: int = 1, dilation: int = 1
                   ) -> jnp.ndarray:
+    if _DCN_MODE == "windowed":
+        return deform_conv2d_windowed(x, offset, mask, weight, bias,
+                                      stride, padding, dilation,
+                                      radius=_DCN_RADIUS)
+    return _deform_conv2d_gather(x, offset, mask, weight, bias, stride,
+                                 padding, dilation)
+
+
+def _deform_conv2d_gather(x: jnp.ndarray, offset: jnp.ndarray,
+                          mask: jnp.ndarray, weight: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          stride: int = 1, padding: int = 1,
+                          dilation: int = 1) -> jnp.ndarray:
     """Modulated deformable conv (deformable_groups=1, SIDE's only config —
     dcn_v2.py:97-128 always passes deformable_groups=1)."""
     B, H, W, Cin = x.shape

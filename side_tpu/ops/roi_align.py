@@ -58,14 +58,16 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, batch_idx: jnp.ndarray,
 
     # one global gather over (B*H*W, C): folding the batch index into the
     # plane index avoids materialising a per-roi copy of the feature map
+    from .deform_conv import _row_gather
     feat_flat = feat.reshape(B * H * W, C)
     base = batch_idx.astype(jnp.int32) * (H * W)
+    S2 = (P * S) * (P * S)
 
     def gather(yi, xi):
         # (N, P*S, P*S) flattened plane indices -> (N, (P*S)^2, C)
         idx = (base[:, None, None] + yi[:, :, None] * W +
-               xi[:, None, :]).reshape(N, -1)
-        return jnp.take(feat_flat, idx, axis=0)
+               xi[:, None, :]).reshape(N * S2)
+        return _row_gather(feat_flat, idx).reshape(N, S2, C)
 
     # bilinear weights in the feature dtype so bf16 features stay bf16
     dt = feat.dtype

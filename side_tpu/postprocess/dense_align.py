@@ -140,8 +140,10 @@ def _bilinear_border(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     flat = img.reshape(H * W, -1)
     shp = u.shape
 
+    from ..ops.deform_conv import _row_gather
+
     def g(yi, xi):
-        return flat[(yi * W + xi).reshape(-1)].reshape(*shp, -1)
+        return _row_gather(flat, (yi * W + xi).reshape(-1)).reshape(*shp, -1)
 
     return (g(y0, x0) * ((1 - fy) * (1 - fx))[..., None] +
             g(y0, x1) * ((1 - fy) * fx)[..., None] +

@@ -120,3 +120,68 @@ def test_stride_two():
     ref = np.asarray(plain_conv2d(jnp.asarray(x), jnp.asarray(w), stride=2))
     assert out.shape == (1, 4, 4, Cout)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_matches_exact_for_inrange_offsets():
+    """Shift-decomposed DCN == gather DCN whenever offsets are within the
+    clamp radius (including fractional and border-crossing samples)."""
+    from side_tpu.ops.deform_conv import (deform_conv2d_windowed,
+                                          _deform_conv2d_gather)
+    rng = np.random.RandomState(7)
+    B, H, W, Cin, Cout, k = 2, 9, 11, 5, 4, 3
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    w = (rng.randn(k, k, Cin, Cout) * 0.3).astype(np.float32)
+    b = rng.randn(Cout).astype(np.float32)
+    offset = (rng.uniform(-2, 2, (B, H, W, 9, 2))).astype(np.float32)
+    mask = rng.rand(B, H, W, 9).astype(np.float32)
+    exact = np.asarray(_deform_conv2d_gather(
+        *map(jnp.asarray, (x, offset, mask, w, b))))
+    windowed = np.asarray(deform_conv2d_windowed(
+        *map(jnp.asarray, (x, offset, mask, w, b)), radius=2))
+    np.testing.assert_allclose(windowed, exact, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_stride_two_and_clamping():
+    from side_tpu.ops.deform_conv import (deform_conv2d_windowed,
+                                          _deform_conv2d_gather)
+    rng = np.random.RandomState(8)
+    B, H, W, Cin, Cout = 1, 8, 10, 3, 4
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    w = (rng.randn(3, 3, Cin, Cout) * 0.3).astype(np.float32)
+    offset = rng.uniform(-1.5, 1.5, (B, 4, 5, 9, 2)).astype(np.float32)
+    mask = np.ones((B, 4, 5, 9), np.float32)
+    exact = np.asarray(_deform_conv2d_gather(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(w), stride=2))
+    windowed = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(w), stride=2, radius=2))
+    np.testing.assert_allclose(windowed, exact, rtol=1e-4, atol=1e-4)
+    # out-of-range offsets are clamped to the radius (deviation by design)
+    off_big = offset.copy()
+    off_big[..., 0] += 100.0
+    off_clamped = offset.copy()
+    off_clamped[..., 0] = 2.0
+    a = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.asarray(off_big), jnp.asarray(mask),
+        jnp.asarray(w), stride=2, radius=2))
+    bb = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.asarray(off_clamped), jnp.asarray(mask),
+        jnp.asarray(w), stride=2, radius=2))
+    np.testing.assert_allclose(a, bb, rtol=1e-5)
+
+
+def test_windowed_gradients_flow():
+    from side_tpu.ops.deform_conv import deform_conv2d_windowed
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 6, 6, 2), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 2, 3) * 0.3, jnp.float32)
+    offset = jnp.asarray(rng.uniform(-1, 1, (1, 6, 6, 9, 2)), jnp.float32)
+    mask = jnp.asarray(rng.rand(1, 6, 6, 9), jnp.float32)
+
+    def f(o):
+        return jnp.sum(deform_conv2d_windowed(x, o, mask, w) ** 2)
+
+    g = jax.grad(f)(offset)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
