@@ -103,7 +103,8 @@ class ConvBN3D(nn.Module):
                     kernel_init=msra_init, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=jnp.float32)(x)
-        return nn.relu(x) if self.relu else x
+        x = nn.relu(x) if self.relu else x
+        return x.astype(self.dtype)
 
 
 class HourglassVolume(nn.Module):

@@ -54,7 +54,10 @@ class ConvBN(nn.Module):
                     kernel_init=conv_init, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=jnp.float32)(x)
-        return nn.relu(x) if self.relu else x
+        # BN statistics stay f32; activations return to the compute dtype so
+        # downstream convs/gathers don't silently run at doubled width
+        x = nn.relu(x) if self.relu else x
+        return x.astype(self.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -72,7 +75,7 @@ class BasicBlock(nn.Module):
                      dtype=self.dtype)(x, train)
         out = ConvBN(self.features, 3, 1, self.dilation, relu=False,
                      dtype=self.dtype)(out, train)
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class Root(nn.Module):
@@ -87,7 +90,7 @@ class Root(nn.Module):
         x = ConvBN(self.features, 1, relu=False, dtype=self.dtype)(x, train)
         if self.residual:
             x = x + children[0]
-        return nn.relu(x)
+        return nn.relu(x).astype(self.dtype)
 
 
 class Tree(nn.Module):

@@ -108,7 +108,7 @@ class StereoNet(nn.Module):
                 y = nn.BatchNorm(use_running_average=not train,
                                  momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                  dtype=jnp.float32, name="feaReduce_bn")(y)
-                return nn.relu(y)
+                return nn.relu(y).astype(self.dtype)
 
             red = reduce(feats)
             red_left, red_right = red[:B], red[B:]

@@ -151,10 +151,11 @@ class PointNetDepth(nn.Module):
                                 dtype=jnp.float32, name=name)
 
         x = nn.relu(bn("bn1")(nn.Dense(256, dtype=self.dtype,
-                                       name="conv1")(x)))
+                                       name="conv1")(x))).astype(self.dtype)
         x = nn.relu(bn("bn2")(nn.Dense(512, dtype=self.dtype,
-                                       name="conv2")(x)))
-        x = bn("bn3")(nn.Dense(1024, dtype=self.dtype, name="conv3")(x))
+                                       name="conv2")(x))).astype(self.dtype)
+        x = bn("bn3")(nn.Dense(1024, dtype=self.dtype,
+                               name="conv3")(x)).astype(self.dtype)
 
         # structure-aware gate: mean over the height axis of the voxel cube,
         # 2D conv over (x, z), sigmoid, broadcast back (pointNet.py:29-35)
@@ -169,7 +170,8 @@ class PointNetDepth(nn.Module):
         gated = cube.reshape(N, r * r * r, 1024)
 
         x = nn.relu(bn("bn4")(nn.Dense(1024, dtype=self.dtype,
-                                       name="conv4")(gated))) + x
+                                       name="conv4")(gated))
+                    ).astype(self.dtype) + x
         x = jnp.max(x, axis=1)                  # global max-pool over points
 
         x = nn.Dense(512, dtype=self.dtype, name="fc1")(x)
@@ -227,7 +229,7 @@ class StereoVoxelNet(nn.Module):
             red = nn.BatchNorm(use_running_average=not train,
                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                dtype=jnp.float32, name="feaReduce_bn")(red)
-            red = nn.relu(red)
+            red = nn.relu(red).astype(self.dtype)
             red_left, red_right = red[:B], red[B:]
 
             if target is not None:

@@ -32,16 +32,20 @@ import numpy as np
 import os as _os
 
 # bilinear-gather formulation.  Measured in the FULL backbone on v5e
-# (batch 2, 384x1280; micro-benchmarks with random indices mislead here —
-# real sample positions are near-sequential):
-#   "take_batch" per-batch jnp.take_along_axis, 4 corner gathers  229 ms
-#   "patch"      ONE lax.gather of (2, 2, C) corner patches        276 ms
-#   "gather"     row lax.gather PROMISE_IN_BOUNDS, batch folded    332 ms
-#   "take"       jnp.take(axis=0), batch folded                    380 ms
+# (batch 2, 384x1280, bf16 activations; micro-benchmarks with random
+# indices mislead here — real sample positions are near-sequential):
+#   "take_batch" + f32-width gathers (default)                    227 ms
+#   "take_batch" per-batch take_along_axis on packed bf16         292 ms
+#   "patch"      ONE lax.gather of (2, 2, C) corner patches       276 ms
+#   "gather"     row lax.gather PROMISE_IN_BOUNDS, batch folded   332 ms
+#   "take"       jnp.take(axis=0), batch folded                   380 ms
+#   "windowed"   gather-free shift decomposition r2/r1        386/132 ms
 # All are far off HBM roofline (~5 ms of traffic): XLA scalarises these
-# gathers.  A Mosaic in-kernel gather was rejected by the compiler (large
-# dynamic tables unsupported) — see tools/gather_microbench.py.
+# gathers, and packed-bf16 gathers are ~30% slower than f32-width ones.
+# A Mosaic in-kernel gather was rejected by the compiler (large dynamic
+# tables unsupported) — see tools/gather_microbench.py.
 _GATHER_MODE = _os.environ.get("SIDE_TPU_GATHER", "take_batch")
+_GATHER_F32 = _os.environ.get("SIDE_TPU_GATHER_F32", "1") == "1"
 
 
 def _row_gather(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -127,6 +131,12 @@ def _bilinear_gather(x_flat: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     fy = sy - y0
     fx = sx - x0
 
+    # packed-bf16 gather lowering is ~30% slower than f32-width on this
+    # XLA version; widen low-precision inputs for the gather (values
+    # identical — bf16 embeds exactly in f32)
+    widen = _GATHER_F32 and x_flat.dtype in (jnp.bfloat16, jnp.float16)
+    gather_src = x_flat.astype(jnp.float32) if widen else x_flat
+
     out = None
     for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
         yy = y0 + dy
@@ -136,14 +146,15 @@ def _bilinear_gather(x_flat: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
         yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
         xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
         if per_batch:
-            v = jnp.take_along_axis(x_flat, (yi * W + xi)[..., None], axis=1)
+            v = jnp.take_along_axis(gather_src, (yi * W + xi)[..., None],
+                                    axis=1)
         else:
             idx = (base + yi * W + xi).reshape(-1)          # (B*P,)
             v = _row_gather(flat, idx).reshape(B, P, C)
-        w = (w * inb).astype(x_flat.dtype)
+        w = (w * inb).astype(v.dtype)
         term = v * w[..., None]
         out = term if out is None else out + term
-    return out
+    return out.astype(x_flat.dtype)
 
 
 def deform_conv2d_windowed(x: jnp.ndarray, offset: jnp.ndarray,
