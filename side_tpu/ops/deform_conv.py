@@ -231,8 +231,9 @@ def deform_conv2d_windowed(x: jnp.ndarray, offset: jnp.ndarray,
 
 
 # deformable-conv implementation: "exact" = gather-based (bit-faithful to
-# the reference, unbounded offsets), "windowed" = shift-decomposed with
-# offsets clamped to +-SIDE_TPU_DCN_RADIUS (default 2) — the fast TPU path
+# the reference, unbounded offsets), "windowed" = XLA shift decomposition,
+# "pallas" = fused Mosaic kernel of the windowed form; the windowed forms
+# clamp offsets to +-SIDE_TPU_DCN_RADIUS (default 2)
 _DCN_MODE = _os.environ.get("SIDE_TPU_DCN", "exact")
 _DCN_RADIUS = int(_os.environ.get("SIDE_TPU_DCN_RADIUS", "2"))
 
@@ -241,6 +242,10 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
                   stride: int = 1, padding: int = 1, dilation: int = 1
                   ) -> jnp.ndarray:
+    if _DCN_MODE == "pallas":
+        from .dcn_pallas import deform_conv2d_pallas
+        return deform_conv2d_pallas(x, offset, mask, weight, bias, stride,
+                                    padding, dilation, radius=_DCN_RADIUS)
     if _DCN_MODE == "windowed":
         return deform_conv2d_windowed(x, offset, mask, weight, bias,
                                       stride, padding, dilation,

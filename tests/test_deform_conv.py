@@ -1,3 +1,4 @@
+import functools
 import numpy as np
 import pytest
 
@@ -185,3 +186,51 @@ def test_windowed_gradients_flow():
     g = jax.grad(f)(offset)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_pallas_kernel_matches_windowed():
+    """Mosaic windowed-DCN kernel == XLA windowed decomposition (interpret
+    mode on CPU; the real lowering is exercised on TPU by the bench)."""
+    from side_tpu.ops import dcn_pallas as DP
+    from side_tpu.ops.deform_conv import deform_conv2d_windowed
+    import jax
+    rng = np.random.RandomState(11)
+    B, H, W, Cin, Cout = 2, 8, 16, 8, 8
+    x = (rng.randn(B, H, W, Cin) * 0.5).astype(np.float32)
+    w = (rng.randn(3, 3, Cin, Cout) * 0.3).astype(np.float32)
+    b = rng.randn(Cout).astype(np.float32)
+    offset = rng.uniform(-2, 2, (B, H, W, 9, 2)).astype(np.float32)
+    mask = rng.rand(B, H, W, 9).astype(np.float32)
+
+    import unittest.mock as um
+    with um.patch.object(DP.pl, "pallas_call",
+                         functools.partial(DP.pl.pallas_call,
+                                           interpret=True)) if False else \
+            um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                     functools.partial(DP.pl.pallas_call, interpret=True)):
+        out = np.asarray(DP.deform_conv2d_pallas(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(w), jnp.asarray(b)))
+    ref = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(w), jnp.asarray(b), radius=2))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_kernel_gradients():
+    from side_tpu.ops import dcn_pallas as DP
+    import unittest.mock as um
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 4, 8, 4) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 4, 4) * 0.3, jnp.float32)
+    offset = jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, 9, 2)), jnp.float32)
+    mask = jnp.asarray(rng.rand(1, 4, 8, 9), jnp.float32)
+
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        def f(o, ww):
+            return jnp.sum(DP.deform_conv2d_pallas(x, o, mask, ww) ** 2)
+        g_o, g_w = jax.grad(f, argnums=(0, 1))(offset, w)
+    assert np.isfinite(np.asarray(g_o)).all()
+    assert np.isfinite(np.asarray(g_w)).all()
+    assert float(jnp.abs(g_w).sum()) > 0
