@@ -57,9 +57,13 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, batch_idx: jnp.ndarray,
     x1i = jnp.minimum(x0 + 1, W - 1)
 
     # one global gather over (B*H*W, C): folding the batch index into the
-    # plane index avoids materialising a per-roi copy of the feature map
+    # plane index avoids materialising a per-roi copy of the feature map.
+    # Gather at f32 width: packed-bf16 gathers are ~30% slower on this XLA
+    # (same finding as ops/deform_conv.py)
     from .deform_conv import _row_gather
-    feat_flat = feat.reshape(B * H * W, C)
+    gdt = jnp.float32 if feat.dtype in (jnp.bfloat16, jnp.float16) \
+        else feat.dtype
+    feat_flat = feat.astype(gdt).reshape(B * H * W, C)
     base = batch_idx.astype(jnp.int32) * (H * W)
     S2 = (P * S) * (P * S)
 
@@ -69,8 +73,7 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, batch_idx: jnp.ndarray,
                xi[:, None, :]).reshape(N * S2)
         return _row_gather(feat_flat, idx).reshape(N, S2, C)
 
-    # bilinear weights in the feature dtype so bf16 features stay bf16
-    dt = feat.dtype
+    dt = gdt
     w00 = ((1 - fy)[:, :, None] * (1 - fx)[:, None, :]).reshape(N, -1, 1)
     w01 = ((1 - fy)[:, :, None] * fx[:, None, :]).reshape(N, -1, 1)
     w10 = (fy[:, :, None] * (1 - fx)[:, None, :]).reshape(N, -1, 1)
@@ -83,6 +86,6 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, batch_idx: jnp.ndarray,
     valid = (vy[:, :, None] & vx[:, None, :]).reshape(N, -1, 1)
     val = val * valid.astype(val.dtype)
 
-    # average the S x S samples of each bin
+    # average the S x S samples of each bin; back to the feature dtype
     val = val.reshape(N, P, S, P, S, C)
-    return val.mean(axis=(2, 4))
+    return val.mean(axis=(2, 4)).astype(feat.dtype)
