@@ -111,6 +111,12 @@ class Config:
     # TPU-native additions -------------------------------------------------
     # number of data-parallel devices; 0 = all visible
     num_devices: int = 0
+    # multi-host SPMD: join a jax.distributed cluster before building the
+    # mesh (empty address = auto-detect from the TPU pod environment)
+    distributed: bool = False
+    coordinator_address: str = ""
+    num_processes: int = -1
+    process_id: int = -1
     # compute dtype for the conv trunk ("bfloat16" | "float32")
     compute_dtype: str = "bfloat16"
     # per-image cost-volume proposal count at inference (train uses MAX_OBJS)
@@ -251,6 +257,10 @@ class Config:
         p.add_argument("--data_dir", default="data")
         p.add_argument("--exp_dir", default="exp")
         p.add_argument("--num_devices", type=int, default=0)
+        p.add_argument("--distributed", action="store_true")
+        p.add_argument("--coordinator_address", default="")
+        p.add_argument("--num_processes", type=int, default=-1)
+        p.add_argument("--process_id", type=int, default=-1)
         p.add_argument("--compute_dtype", default="bfloat16")
         p.add_argument("--remat", action="store_true")
         p.add_argument("--depth_variant", default="cost_volume",
@@ -292,6 +302,9 @@ class Config:
             reg_offset=not a.not_reg_offset, reg_bbox=not a.not_reg_bbox,
             center_thresh=a.center_thresh, data_dir=a.data_dir,
             exp_dir=a.exp_dir, num_devices=a.num_devices,
+            distributed=a.distributed,
+            coordinator_address=a.coordinator_address,
+            num_processes=a.num_processes, process_id=a.process_id,
             compute_dtype=a.compute_dtype, remat=a.remat,
             depth_variant=a.depth_variant,
             eval_oracle_hm=a.eval_oracle_hm, eval_oracle_wh=a.eval_oracle_wh,

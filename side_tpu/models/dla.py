@@ -213,7 +213,10 @@ class BilinearUp(nn.Module):
                                np.ones((1, 1, 1, shape[-1])), dtype)
 
         w = self.param("kernel", init, (k, k, 1, C))
-        # transpose conv == lhs-dilated conv with the spatially flipped kernel
+        # transpose conv == lhs-dilated conv with the spatially flipped
+        # kernel.  No preferred_element_type: its VJP builds a mixed-dtype
+        # conv (f32 cotangent x bf16 kernel) which lax rejects; the TPU MXU
+        # accumulates in f32 internally either way.
         pad = k - 1 - f // 2
         out = jax.lax.conv_general_dilated(
             x, jnp.flip(w, (0, 1)).astype(x.dtype),
@@ -221,8 +224,7 @@ class BilinearUp(nn.Module):
             padding=((pad, pad), (pad, pad)),
             lhs_dilation=(f, f),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C,
-            preferred_element_type=jnp.float32)
+            feature_group_count=C)
         return out.astype(x.dtype)
 
 

@@ -12,20 +12,33 @@ Scope: 3x3 / stride 1 / dilation 1 / deformable_groups 1 — exactly the
 configuration every DCN in SIDE uses (dcn_v2.py:97-128,
 feature_extraction_dla34.py:352).  Offsets are clamped to [-radius, radius]
 (same contract as deform_conv2d_windowed: exact vs the reference kernel
-whenever offsets are in range).
+whenever offsets are in range — and with bf16 activations the two paths are
+bit-identical in practice, verified in-model on v5e).
 
-STATUS (SIDE_TPU_DCN=pallas, experimental): correct in interpret mode and
-compiles+runs standalone on v5e for EVERY layer shape the model uses
-(verified incl. (4,48,160,128)->64, also under lax.scan), but inside the
-full backbone program one instantiation trips Mosaic's 16M scoped-vmem
-limit by ~2M — XLA co-schedules neighbouring buffers into the same scoped
-budget.  Round-2 fix: per-call buffering control / smaller image blocks
-with halo DMA.
+Kernel structure (round-2 rewrite; the round-1 version was 10-20x off the
+VPU roofline):
+  * per grid step (batch b, row-tile t) the input window is read from the
+    resident padded image ONCE, cast to f32 ONCE into a VMEM scratch
+    (the old kernel re-read + re-cast it inside all 9*(2R+2)^2 terms);
+  * every shift term is then a STATIC slice of that scratch (the old
+    kernel's traced-start dynamic slices forced Mosaic copies per term);
+  * triangle weights per axis are precomputed per tap (S arrays instead of
+    S^2 products from scratch);
+  * the im2col columns are written in the activation dtype so the weight
+    contraction runs on the MXU in bf16 with f32 accumulation.
+
+Mosaic constraints (each found the hard way in round 1): no >2D gathers on
+values, no integer indexing that lowers to a gather (use static slices),
+traced LANE-dim dynamic-slice starts crash the compiler, and the default
+16M scoped-vmem budget is shared with XLA's co-scheduled buffers — raised
+per-kernel via `pltpu.CompilerParams(vmem_limit_bytes=...)` (v5e has 128M
+physical VMEM).
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -36,65 +49,85 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .deform_conv import deform_conv2d_windowed
 
+# Scoped-VMEM budget Mosaic may use per DCN kernel.  v5e has 128M physical
+# VMEM; the XLA default budget is 16M which round 1 overflowed in-model.
+_VMEM_LIMIT = int(_os.environ.get("SIDE_TPU_DCN_VMEM", str(96 * 1024 * 1024)))
+# sy accumulation: "full" unrolls everything (static slices); "fori" runs
+# the row shifts in a fori_loop (smaller compile, dynamic sublane starts)
+_UNROLL = _os.environ.get("SIDE_TPU_DCN_UNROLL", "full")
 
-def _pick_tile_h(H: int, W: int = 320, C: int = 64, R: int = 2) -> int:
-    """Largest row-tile whose unrolled-body stack fits Mosaic's 16M scoped
-    vmem: the compiler allocates a fresh (tile_h, W, C) f32 temp for each of
-    the 9*(2R+2) unrolled loop bodies (no cross-statement reuse)."""
-    # two f32 tile-sized temps (upcast + product) per unrolled body,
-    # empirically padded: Mosaic's scoped-stack usage is not exactly
-    # liveness-based
-    budget = 8 * 1024 * 1024
-    per_row = 2 * 9 * (2 * R + 2) * W * C * 4
-    for t in (8, 6, 4, 3, 2, 1):
-        if H % t == 0 and t * per_row <= budget:
+
+def _pick_tile_h(H: int, W: int, C: int, R: int) -> int:
+    """Row-tile height: large enough to amortise per-step work, small
+    enough that the f32 scratches stay well inside the budget."""
+    per_row = (W + 2 * (R + 2)) * C * 4      # f32 window scratch per row
+    cols_row = W * 9 * C * 2                 # bf16 cols per row
+    budget = _VMEM_LIMIT // 4
+    for t in (16, 12, 8, 6, 4, 3, 2, 1):
+        if H % t == 0 and \
+                (t + 2 * R + 3) * per_row + t * (cols_row + W * C * 4) <= budget:
             return t
     return 1
 
 
-def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, cols_ref,
-                acc_ref, *, H, W, C, Cout, tile_h, R, PAD):
+def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
+                x32_ref, cols_ref, acc_ref, *,
+                H, W, C, Cout, tile_h, R, PAD):
     t = pl.program_id(1)
     row0 = t * tile_h
 
     offs = off_ref[0]                    # (tile_h, W, 18) f32
     masks = mask_ref[0]                  # (tile_h, W, 9) f32
-
     S = 2 * R + 2                        # shifts per axis
 
-    # Mosaic constraints shaped this loop nest (each was found the hard
-    # way — see git history):
-    #  * tap loop: Python unroll — no dynamic_slice on VALUES, no >2D
-    #    gather, so per-tap channel picks must be STATIC slices;
-    #  * column shifts: Python unroll — a TRACED lane-dim (second-minor+)
-    #    dynamic-slice start crashes the Mosaic compiler;
-    #  * row shifts: fori_loop (traced sublane starts are fine);
-    #  * accumulate into a VMEM scratch REF, not a value chain — unrolled
-    #    (tile_h, W, C) value temporaries blow the 16M scoped-vmem stack.
+    # one dynamic-start read + one f32 cast of the whole input window:
+    # padded rows [row0 + PAD-1-R, ... + tile_h + 2R + 3) cover every
+    # (tap ty, shift sy) slice of this row-tile
+    win_rows = tile_h + 2 * R + 3
+    x32_ref[:] = x_ref[0, pl.ds(row0 + PAD - 1 - R, win_rows), :, :
+                       ].astype(jnp.float32)
+
     for k in range(9):
         ty, tx = k // 3, k % 3
-        # static slices (NOT integer indexing, which lowers to a 3D gather)
+        # static channel slices (integer indexing lowers to a 3D gather)
         dy = jnp.clip(offs[:, :, 2 * k:2 * k + 1][:, :, 0], -R, R)
         dx = jnp.clip(offs[:, :, 2 * k + 1:2 * k + 2][:, :, 0], -R, R)
         mk = masks[:, :, k:k + 1]
 
-        acc_ref[:] = jnp.zeros((tile_h, W, C), jnp.float32)
-        for sx in range(-R, R + 2):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - sx))
+        # triangle weights per axis, S of each (instead of S^2 pair products
+        # recomputed from scratch)
+        wy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - s)) for s in
+              range(-R, R + 2)]
+        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - s)) for s in
+              range(-R, R + 2)]
 
-            def row_body(s, carry, wx=wx, sx=sx, dy=dy, ty=ty, tx=tx):
-                sy = s - R
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy))
-                # padded-image row of output row r is r + PAD; sample row
-                # is r - 1 + ty + sy -> start = row0 + PAD - 1 + ty + sy
-                xs = x_ref[0, pl.ds(row0 + PAD - 1 + ty + sy, tile_h),
-                           pl.ds(PAD - 1 + tx + sx, W), :]
-                acc_ref[:] = acc_ref[:] + \
-                    xs.astype(jnp.float32) * (wy * wx)[:, :, None]
+        # sample row (padded coords) of output row r is r + PAD-1 + ty + sy;
+        # the scratch starts at padded row row0 + PAD-1-R, so the in-scratch
+        # start is ty + sy + R — fully static.
+        acc_ref[:] = jnp.zeros((tile_h, W, C), jnp.float32)
+        if _UNROLL == "full":
+            for iy, sy in enumerate(range(-R, R + 2)):
+                ry = ty + sy + R
+                for ix, sx in enumerate(range(-R, R + 2)):
+                    cxs = PAD - 1 + tx + sx
+                    w2 = wy[iy] * wx[ix]
+                    acc_ref[:] = acc_ref[:] + \
+                        x32_ref[ry:ry + tile_h, cxs:cxs + W, :] * \
+                        w2[:, :, None]
+        else:
+            wys = jnp.stack(wy)          # (S, tile_h, W)
+
+            def row_body(i, carry, ty=ty, tx=tx, wxl=wx):
+                xs = x32_ref[pl.ds(ty + i, tile_h)]
+                wyi = jax.lax.dynamic_index_in_dim(wys, i, 0, False)
+                for ix, sx in enumerate(range(-R, R + 2)):
+                    cxs = PAD - 1 + tx + sx
+                    acc_ref[:] = acc_ref[:] + \
+                        xs[:, cxs:cxs + W, :] * (wyi * wxl[ix])[:, :, None]
                 return carry
 
             jax.lax.fori_loop(0, S, row_body, 0)
-        cols_ref[:, pl.ds(k * C, C)] = (acc_ref[:] * mk).reshape(
+        cols_ref[:, k * C:(k + 1) * C] = (acc_ref[:] * mk).reshape(
             tile_h * W, C).astype(cols_ref.dtype)
 
     out = jax.lax.dot_general(
@@ -115,7 +148,7 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
     Hp, Wp = H + 2 * PAD, W + 2 * PAD
     try:
         # keep the operand out of VMEM: inside a large program XLA may place
-        # it there (S(1)), double-counting it against the 16M scoped budget
+        # it there (S(1)), double-counting it against the scoped budget
         xp = pltpu.with_memory_space_constraint(xp, pltpu.HBM)
     except Exception:
         pass
@@ -123,6 +156,7 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
     kern = functools.partial(_dcn_kernel, H=H, W=W, C=C, Cout=Cout,
                              tile_h=tile_h, R=R, PAD=PAD)
     grid = (B, H // tile_h)
+    win_rows = tile_h + 2 * R + 3
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -144,12 +178,16 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
                                lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile_h * W, 9 * C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((win_rows, Wp, C), jnp.float32),
+                        pltpu.VMEM((tile_h * W, 9 * C), x.dtype),
                         pltpu.VMEM((tile_h, W, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * C * Cout +
             B * H * W * 9 * (2 * R + 2) ** 2 * C * 2,
-            bytes_accessed=B * Hp * Wp * C * x.dtype.itemsize * (H // tile_h),
+            bytes_accessed=B * Hp * Wp * C * x.dtype.itemsize,
             transcendentals=0),
     )(xp, offset18, mask, weight.reshape(9 * C, Cout), bias)
 

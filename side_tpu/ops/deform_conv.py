@@ -304,14 +304,17 @@ def _deform_conv2d_gather(x: jnp.ndarray, offset: jnp.ndarray,
 
 def plain_conv2d(x, weight, bias=None, stride=1, padding=1, dilation=1):
     """Regular NHWC conv via conv_general_dilated (for parity tests and the
-    offset/mask-producing convolution)."""
+    offset/mask-producing convolution).
+
+    No preferred_element_type: its VJP builds a mixed-dtype conv (f32
+    cotangent x bf16 kernel) which lax rejects; the TPU MXU accumulates in
+    f32 internally either way."""
     out = jax.lax.conv_general_dilated(
         x, weight.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)

@@ -168,6 +168,8 @@ class Trainer:
 
     # ------------------------------------------------------------- checkpoint
     def save(self, path: str, epoch: int):
+        if jax.process_index() != 0:   # params replicated: host 0 writes
+            return
         state = jax.device_get(self.state)
         lw = state.params.get("loss_weight")
         # flatten adam moments for exact resume

@@ -1,0 +1,216 @@
+"""End-to-end inference tail: process_frame + Detector.
+
+The round-1 gap: runtime/detector.py and postprocess/post_process.py (the
+affine unwarp -> disparity/CV depth -> batched solve -> align -> re-solve
+chain, with its x_shift/z_shift and theta +- pi/2 conventions, mirroring
+/root/reference/src/lib/utils/post_process.py:91-207) had no automated
+coverage — a sign error there silently destroys AP while unit tests stay
+green.  These tests feed hand-built decode outputs (projected from known GT
+3D boxes) through the real code and assert the recovered KITTI rows.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from side_tpu.config import Config
+from side_tpu.data import geometry as G
+from side_tpu.data.kitti import box3d_corners, project
+from side_tpu.data.synthetic import IMG_H, IMG_W, default_calib, make_scene, _render
+from side_tpu.postprocess.post_process import (cells_to_pixels, process_frame,
+                                               save_kitti_results,
+                                               unwarp_boxes)
+
+CARS = [
+    # x, y, z, ry
+    (1.5, 1.65, 14.0, 0.4),
+    (-3.0, 1.65, 25.0, 2.0),
+    (4.0, 1.65, 30.0, -1.2),
+]
+DIM_HWL = (1.53, 1.63, 3.88)
+
+
+def _calib_list():
+    p2, p3 = default_calib()
+    p0 = p2.copy()
+    p0[0, 3] = 0.0
+    return [p0.tolist(), p3.tolist(), p2.tolist(), p3.tolist()], p2, p3
+
+
+def _meta(cfg):
+    c = np.array([IMG_W / 2.0, IMG_H / 2.0], np.float32)
+    s = np.array([IMG_W, IMG_H], np.int32)
+    calib_list, p2, p3 = _calib_list()
+    trans = G.get_affine_transform(c, s, 0, [cfg.output_w, cfg.output_h])
+    trans_inv = G.get_affine_transform(c, s, 0,
+                                       [cfg.output_w, cfg.output_h], inv=True)
+    return {"c": c, "s": s, "calib": calib_list, "trans": trans,
+            "trans_inv": trans_inv}, p2, p3
+
+
+def _make_decode_outputs(cfg, cars, depth_fn=lambda z: z, score=0.9):
+    """Build (dets, dets_right, info_3d) exactly as ddd_decode would emit
+    them for perfect predictions of `cars`, at output resolution."""
+    meta, p2, p3 = _meta(cfg)
+    K = cfg.K
+    dets = np.zeros((K, 6), np.float32)
+    dets_r = np.zeros((K, 6), np.float32)
+    info = np.zeros((K, 10), np.float32)
+
+    for i, (x, y, z, ry) in enumerate(cars):
+        h, w, l = DIM_HWL
+        corners = box3d_corners([h, w, l], [x, y, z], ry)
+        pts_l = project(p2, corners)
+        pts_r = project(p3, corners)
+        box_l = np.array([pts_l[:, 0].min(), pts_l[:, 1].min(),
+                          pts_l[:, 0].max(), pts_l[:, 1].max()])
+        box_r = np.array([pts_r[:, 0].min(), pts_r[:, 1].min(),
+                          pts_r[:, 0].max(), pts_r[:, 1].max()])
+
+        # original pixels -> output-resolution cells (what decode emits)
+        tl = G.affine_transform_batch(box_l.reshape(2, 2), meta["trans"])
+        tr = G.affine_transform_batch(box_r.reshape(2, 2), meta["trans"])
+        dets[i] = [tl[:, 0].mean(), tl[:, 1].mean(),
+                   tl[1, 0] - tl[0, 0], tl[1, 1] - tl[0, 1], score, 0]
+        dets_r[i] = [tr[:, 0].mean(), tr[:, 1].mean(),
+                     tr[1, 0] - tr[0, 0], tr[1, 1] - tr[0, 1], score, 0]
+
+        alpha = ry - np.arctan2(x, z)
+        alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
+
+        # perspective keypoint: inner bottom corner in front of the center
+        us = pts_l[:4, 0]
+        order = np.argsort(us)
+        inner = [k for k in range(4) if k not in (order[0], order[-1])
+                 and corners[k, 2] <= z]
+        kpt_type = inner[0] if inner else 0
+        kpt_u = us[kpt_type]
+
+        width = box_l[2] - box_l[0]
+        kept_cell = (kpt_u - box_l[0]) * cfg.grid / width
+        info[i] = [h, w, l, np.sin(alpha), np.cos(alpha),
+                   0.0, cfg.grid, kept_cell, kpt_type, depth_fn(z)]
+    return dets, dets_r, info, meta
+
+
+def _angle_err(a, b):
+    return abs((a - b + np.pi) % (2 * np.pi) - np.pi)
+
+
+def test_process_frame_recovers_gt_pose():
+    """Cost-volume depth path, no alignment: x/y/z/ry/alpha/dim round-trip
+    (pins the x_shift/z_shift and theta +- pi/2 conventions)."""
+    cfg = Config()
+    dets, dets_r, info, meta = _make_decode_outputs(cfg, CARS)
+    preds = process_frame(dets, dets_r, info, meta, cfg, run_align=False)
+
+    assert set(preds.keys()) == {1, 2, 3}
+    rows = preds[1]                     # Car
+    assert rows.shape == (len(CARS), 13)
+    assert len(preds[2]) == 0 and len(preds[3]) == 0
+
+    for row, (x, y, z, ry) in zip(rows, CARS):
+        alpha_gt = (ry - np.arctan2(x, z) + np.pi) % (2 * np.pi) - np.pi
+        assert _angle_err(row[0], alpha_gt) < 0.02
+        np.testing.assert_allclose(row[5:8], DIM_HWL, atol=1e-3)
+        assert row[8] == pytest.approx(x, abs=0.3)
+        assert row[9] == pytest.approx(y, abs=0.3)
+        assert row[10] == pytest.approx(z, abs=0.15)
+        assert _angle_err(row[11], ry) < 0.12
+        assert row[12] == pytest.approx(0.9, abs=1e-5)
+
+
+def test_process_frame_box_roundtrip():
+    """Unwarped 2D boxes in the rows must match the original-pixel GT."""
+    cfg = Config()
+    dets, dets_r, info, meta = _make_decode_outputs(cfg, CARS)
+    _, p2, _ = _meta(cfg)
+    preds = process_frame(dets, dets_r, info, meta, cfg, run_align=False)
+    for row, (x, y, z, ry) in zip(preds[1], CARS):
+        pts = project(p2, box3d_corners(list(DIM_HWL), [x, y, z], ry))
+        box_gt = [pts[:, 0].min(), pts[:, 1].min(),
+                  pts[:, 0].max(), pts[:, 1].max()]
+        np.testing.assert_allclose(row[1:5], box_gt, atol=0.1)
+
+
+def test_process_frame_disparity_depth():
+    """--not_cost_volume path: depth from the decoded stereo disparity."""
+    cfg = Config(cost_volume=False)
+    dets, dets_r, info, meta = _make_decode_outputs(cfg, CARS)
+    preds = process_frame(dets, dets_r, info[:, :9], meta, cfg,
+                          run_align=False)
+    for row, (x, y, z, ry) in zip(preds[1], CARS):
+        # box-center disparity approximates the center-depth disparity
+        assert row[10] == pytest.approx(z, rel=0.12)
+
+
+def test_process_frame_threshold_and_classes():
+    cfg = Config()
+    cars = CARS[:2]
+    dets, dets_r, info, meta = _make_decode_outputs(cfg, cars)
+    dets[1, 4] = dets_r[1, 4] = 0.05          # below peak_thresh
+    dets[0, 5] = dets_r[0, 5] = 2             # Truck
+    preds = process_frame(dets, dets_r, info, meta, cfg, run_align=False)
+    assert len(preds[1]) == 0
+    assert len(preds[2]) == 0
+    assert len(preds[3]) == 1
+
+
+def test_process_frame_alignment_refines_depth():
+    """Dense photometric alignment must pull a perturbed cost-volume depth
+    back toward GT on rendered synthetic stereo (post_process.py:179-206)."""
+    cfg = Config()
+    x, y, z, ry = 1.0, 1.65, 14.0, 0.5
+    objs = [{"type": "Car", "dim": list(DIM_HWL), "location": [x, y, z],
+             "rotation_y": ry, "color": [200, 80, 60]}]
+    _, p2, p3 = _meta(cfg)
+    rng = np.random.RandomState(3)
+    img_l = _render(objs, p2, np.random.RandomState(3))
+    img_r = _render(objs, p3, np.random.RandomState(3))
+
+    pert = 2.0
+    dets, dets_r, info, meta = _make_decode_outputs(
+        cfg, [(x, y, z, ry)], depth_fn=lambda zz: zz + pert)
+    preds = process_frame(dets, dets_r, info, meta, cfg,
+                          img_left=img_l, img_right=img_r, run_align=True)
+    z_out = preds[1][0, 10]
+    assert abs(z_out - z) < pert            # strictly better than the input
+    assert abs(z_out - z) < 1.0
+
+
+def test_save_kitti_results_format(tmp_path):
+    cfg = Config()
+    dets, dets_r, info, meta = _make_decode_outputs(cfg, CARS)
+    preds = process_frame(dets, dets_r, info, meta, cfg, run_align=False)
+    out = save_kitti_results({7: preds}, str(tmp_path),
+                             ["__background__", "Car", "Van", "Truck"])
+    txt = open(f"{out}/000007.txt").read().strip().splitlines()
+    assert len(txt) == len(CARS)
+    for line in txt:
+        parts = line.split()
+        assert parts[0] == "Car"
+        assert len(parts) == 16             # type trunc occ + 13 values
+        float(parts[-1])
+
+
+@pytest.mark.slow
+def test_detector_run_end_to_end():
+    """Detector.run on a rendered stereo pair: full device program + tail.
+    Untrained net, so only structure/stages are asserted."""
+    from side_tpu.runtime.detector import Detector
+    cfg = Config(input_h=128, input_w=256, K=20)
+    calib_list, p2, p3 = _calib_list()
+    objs = make_scene(np.random.RandomState(0), 2)
+    img_l = _render(objs, p2, np.random.RandomState(5))
+    img_r = _render(objs, p3, np.random.RandomState(5))
+
+    det = Detector(cfg)
+    out = det.run((img_l, img_r), calib=calib_list, run_align=False)
+    assert set(out["results"].keys()) == {1, 2, 3}
+    for rows in out["results"].values():
+        if len(rows):
+            assert rows.shape[1] == 13
+            assert np.isfinite(rows).all()
+    for k in ("tot", "load", "pre", "net", "dec", "post", "merge"):
+        assert out[k] >= 0

@@ -30,14 +30,22 @@ from side_tpu.runtime.trainer import Trainer
 
 
 def main(cfg: Config):
+    if cfg.distributed:
+        from side_tpu.parallel.mesh import init_distributed
+        init_distributed(cfg.coordinator_address, cfg.num_processes,
+                         cfg.process_id)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
     logger = Logger(cfg)
-    np.random.seed(cfg.seed)
+    np.random.seed(cfg.seed + 13 * jax.process_index())
 
     train_ds = StereoKitti(cfg, "train")
     val_ds = StereoKitti(cfg, "val")
-    train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
+    # per-process local batch; each host draws an independent shuffle stream
+    local_bs = max(1, cfg.batch_size // jax.process_count())
+    train_loader = Loader(train_ds, local_bs, shuffle=True,
                           num_workers=cfg.num_workers, drop_last=True,
-                          seed=cfg.seed)
+                          seed=cfg.seed + 13 * jax.process_index())
     val_loader = Loader(val_ds, 1, shuffle=False, num_workers=1)
 
     print("Creating model...")
