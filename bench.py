@@ -28,6 +28,72 @@ import time
 import numpy as np
 
 
+def _bench_train(batch_size: int) -> float:
+    """Steady-state fwd+bwd+Adam stereo pairs/s on one chip.
+
+    Times the REAL jitted SPMD train step (GT-RoI cost volume, 7-component
+    loss, uncertainty weights, Adam) on a 1-device mesh at full input
+    resolution.  Steps chain through the optimizer state, so the loop is
+    dependency-serial; a scalar loss fetch synchronises (see the relay note
+    in main).  Two loop lengths cancel dispatch overhead."""
+    import jax
+    import jax.numpy as jnp
+    from side_tpu.config import Config
+    from side_tpu.models.stereo_net import StereoNet, init_stereo_net
+    from side_tpu.parallel.mesh import make_mesh, shard_batch
+    from side_tpu.runtime.trainer import Trainer
+
+    cfg = Config(batch_size=batch_size, uncert=True, num_devices=1)
+    model = StereoNet(heads=dict(cfg.heads), roi_size=cfg.roi_size,
+                      max_objs=cfg.max_objs, topk=cfg.K,
+                      down_ratio=cfg.down_ratio, input_w=cfg.input_w,
+                      dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda rng: init_stereo_net(model, rng, cfg.input_h, cfg.input_w,
+                                    cfg.max_objs)
+    )(jax.random.PRNGKey(0))
+    mesh = make_mesh(1)
+    trainer = Trainer(cfg, model, variables, steps_per_epoch=1000, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    B, K = batch_size, cfg.max_objs
+    Ho, Wo = cfg.output_h, cfg.output_w
+    hm = np.zeros((B, 3, Ho, Wo), np.float32)
+    hm[:, 0, Ho // 2, Wo // 2] = 1.0
+    ind = np.full((B, K), (Ho // 2) * Wo + Wo // 2, np.int64)
+    batch = {
+        "input": rng.randn(B, cfg.input_h, cfg.input_w, 3).astype(np.float32),
+        "input_right": rng.randn(B, cfg.input_h, cfg.input_w,
+                                 3).astype(np.float32),
+        "hm": hm, "ind": ind, "ind_float": ind.astype(np.float32),
+        "rot_mask": np.ones((B, K), np.uint8),
+        "wh": np.full((B, K, 3), 12.0, np.float32),
+        "reg": rng.rand(B, K, 3).astype(np.float32),
+        "dim": np.full((B, K, 3), 1.5, np.float32),
+        "orien": np.tile([0.0, 1.0], (B, K, 1)).astype(np.float32),
+        "depth": np.full((B, K, 1), 15.0, np.float32),
+        "kept": (rng.rand(B, K, 6) * 4).astype(np.float32),
+        "fb": np.full((B,), 380.0, np.float32),
+    }
+    batch = shard_batch(batch, mesh)
+
+    def run_n(n):
+        t0 = time.perf_counter()
+        stats = None
+        for _ in range(n):
+            trainer.state, stats = trainer._train_step(trainer.state, batch)
+        float(jnp.asarray(stats["loss"]))      # execution + host fetch
+        return time.perf_counter() - t0
+
+    run_n(2)                                   # compile + warm transfer
+    n_small, n_big = 3, 13
+    t_small = min(run_n(n_small) for _ in range(2))
+    t_big = min(run_n(n_big) for _ in range(2))
+    print(f"[bench-train] n_small={n_small}: {t_small:.3f}s  "
+          f"n_big={n_big}: {t_big:.3f}s", file=sys.stderr)
+    return (n_big - n_small) * batch_size / max(t_big - t_small, 1e-9)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -80,12 +146,20 @@ def main():
     dt = max(t_big - t_small, 1e-9)
     pairs_per_sec = (n_big - n_small) * batch_size / dt
     baseline_img_per_sec = 1.0 / 0.031  # TITAN Xp CenterNet ddd (MODEL_ZOO)
-    print(json.dumps({
+
+    result = {
         "metric": "kitti_stereo_infer_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 3),
         "unit": "stereo_pairs/s",
         "vs_baseline": round(pairs_per_sec / baseline_img_per_sec, 3),
-    }))
+    }
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        try:
+            result["train_pairs_per_sec_per_chip"] = round(
+                _bench_train(batch_size), 3)
+        except Exception as e:  # train bench is auxiliary: never lose infer
+            print(f"[bench-train] failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -129,6 +129,41 @@ def draw_umich_gaussian(heatmap, center, radius, k=1.0) -> np.ndarray:
     return heatmap
 
 
+def draw_dense_reg(regmap, heatmap, center, value, radius,
+                   is_offset=False) -> np.ndarray:
+    """Paint a dense regression patch where the gaussian dominates the
+    current heatmap (image.py:143-173).  Unused by the stereo main path
+    (SIDE regresses at center indices only); kept for CenterNet-toolkit
+    parity.  regmap: (dim, H, W); heatmap: (H, W)."""
+    diameter = 2 * radius + 1
+    gaussian = gaussian2d((diameter, diameter), sigma=diameter / 6.0)
+    value = np.asarray(value, np.float32).reshape(-1, 1, 1)
+    dim = value.shape[0]
+    reg = np.ones((dim, diameter * 2 + 1, diameter * 2 + 1),
+                  np.float32) * value
+    if is_offset and dim == 2:
+        delta = np.arange(diameter * 2 + 1) - radius
+        reg[0] -= delta.reshape(1, -1)
+        reg[1] -= delta.reshape(-1, 1)
+
+    x, y = int(center[0]), int(center[1])
+    height, width = heatmap.shape[:2]
+    left, right = min(x, radius), min(width - x, radius + 1)
+    top, bottom = min(y, radius), min(height - y, radius + 1)
+
+    masked_hm = heatmap[y - top:y + bottom, x - left:x + right]
+    masked_reg_out = regmap[:, y - top:y + bottom, x - left:x + right]
+    masked_g = gaussian[radius - top:radius + bottom,
+                        radius - left:radius + right]
+    masked_reg = reg[:, radius - top:radius + bottom,
+                     radius - left:radius + right]
+    if min(masked_g.shape) > 0 and min(masked_hm.shape) > 0:
+        idx = (masked_g >= masked_hm).reshape(1, *masked_g.shape)
+        masked_reg_out = (1 - idx) * masked_reg_out + idx * masked_reg
+    regmap[:, y - top:y + bottom, x - left:x + right] = masked_reg_out
+    return regmap
+
+
 def draw_msra_gaussian(heatmap, center, sigma) -> np.ndarray:
     """MSRA-style gaussian used with --mse_loss (image.py:175-196)."""
     tmp_size = sigma * 3

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import pool_interp_matrix, roi_align
 from .dla import BN_EPS, BN_MOMENTUM, msra_init
 
 DEPTH_MAX = 87.0
@@ -70,11 +70,53 @@ def proposal_shift(bbox: jnp.ndarray, bbox_right: jnp.ndarray,
 def build_cost_volume(feat_left: jnp.ndarray, feat_right: jnp.ndarray,
                       rois_left: jnp.ndarray, rois_right: jnp.ndarray,
                       roi_size: int) -> jnp.ndarray:
-    """RoIAlign both views over all depth hypotheses at once.
+    """RoIAlign both views over all depth hypotheses as MXU matmuls.
 
     feat_*: (B, H, W, C=32); rois_*: (B, K, D, 4).
     Returns (B*K, D, R, R, 3C) = concat(left, right, left-right).
+
+    TPU-first re-design of the reference's 16x RoIAlign loop
+    (stereo_network_old.py:371-376): RoIAlign is linear in the features, so
+    each axis of the pooling is a contraction against an interpolation
+    matrix (see ops/roi_align.pool_interp_matrix) — zero gathers, all MXU.
+    Structure exploited: across the D depth hypotheses only the x extent
+    changes (proposal_shift shifts RoIs horizontally by disparity), and the
+    left/right RoIs share their y extent, so ONE y-contraction per RoI is
+    shared by both views and all D bins; only the (q, w) x-contraction is
+    per-bin.
     """
+    B, K, D, _ = rois_left.shape
+    R = roi_size
+    H, W = feat_left.shape[1:3]
+
+    # y extent identical across bins and views by construction
+    Wy = pool_interp_matrix(rois_left[:, :, 0, 1], rois_left[:, :, 0, 3],
+                            H, R, 2)                          # (B, K, R, H)
+    Wxl = pool_interp_matrix(rois_left[..., 0], rois_left[..., 2],
+                             W, R, 2)                         # (B, K, D, R, W)
+    Wxr = pool_interp_matrix(rois_right[..., 0], rois_right[..., 2],
+                             W, R, 2)
+
+    fl = feat_left.astype(jnp.float32)
+    fr = feat_right.astype(jnp.float32)
+    yl = jnp.einsum("bkph,bhwc->bkpwc", Wy, fl,
+                    preferred_element_type=jnp.float32)       # (B, K, R, W, C)
+    yr = jnp.einsum("bkph,bhwc->bkpwc", Wy, fr,
+                    preferred_element_type=jnp.float32)
+    pool_l = jnp.einsum("bkdqw,bkpwc->bkdpqc", Wxl, yl,
+                        preferred_element_type=jnp.float32)
+    pool_r = jnp.einsum("bkdqw,bkpwc->bkdpqc", Wxr, yr,
+                        preferred_element_type=jnp.float32)
+
+    cost = jnp.concatenate([pool_l, pool_r, pool_l - pool_r], axis=-1)
+    C3 = cost.shape[-1]
+    return cost.reshape(B * K, D, R, R, C3).astype(feat_left.dtype)
+
+
+def build_cost_volume_gather(feat_left: jnp.ndarray, feat_right: jnp.ndarray,
+                             rois_left: jnp.ndarray, rois_right: jnp.ndarray,
+                             roi_size: int) -> jnp.ndarray:
+    """Gather-based reference implementation (kept for parity tests)."""
     B, K, D, _ = rois_left.shape
     batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
     R = roi_size

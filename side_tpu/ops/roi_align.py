@@ -17,6 +17,60 @@ import jax
 import jax.numpy as jnp
 
 
+def pool_interp_matrix(lo: jnp.ndarray, hi: jnp.ndarray, size: int,
+                       out_size: int, sampling_ratio: int) -> jnp.ndarray:
+    """Averaged bilinear-interpolation matrix for one axis of RoIAlign.
+
+    RoIAlign is linear in the feature map, so pooling one axis is a matmul
+    with a (P, size) weight matrix: W[p, j] = mean over the S samples of bin
+    p of their bilinear weight onto integer coordinate j (torchvision
+    semantics: sample < -1 or > size contributes 0, otherwise clamped).
+
+    lo, hi: (...,) box extents along the axis, already in feature pixels.
+    Returns (..., P, size) float32.
+    """
+    P, S = out_size, sampling_ratio
+    extent = jnp.maximum(hi - lo, 1.0)
+    grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / S   # bin units
+    s = lo[..., None] + (extent / P)[..., None] * grid        # (..., P*S)
+    valid = (s >= -1.0) & (s <= float(size))
+    sc = jnp.clip(s, 0.0, size - 1.0)
+    j = jnp.arange(size, dtype=jnp.float32)
+    tri = jnp.maximum(0.0, 1.0 - jnp.abs(sc[..., None] - j))  # (..., P*S, size)
+    tri = tri * valid[..., None]
+    return tri.reshape(tri.shape[:-2] + (P, S, size)).mean(-2)
+
+
+def roi_align_mm(feat: jnp.ndarray, boxes: jnp.ndarray,
+                 batch_idx: jnp.ndarray, out_size: int,
+                 spatial_scale: float = 1.0, sampling_ratio: int = 2
+                 ) -> jnp.ndarray:
+    """`roi_align` reformulated as two MXU contractions (zero gathers).
+
+    out[n] = Wy[n] @ feat[batch_idx[n]] @ Wx[n]^T with the S*S sample
+    average folded into the interpolation matrices.  The per-roi feature
+    lookup becomes a per-image einsum masked by the batch index (B is tiny
+    here), so XLA sees only dense matmuls.  Matches `roi_align` exactly up
+    to float associativity."""
+    B, H, W, C = feat.shape
+    N = boxes.shape[0]
+    P = out_size
+    b = boxes * spatial_scale
+    Wy = pool_interp_matrix(b[:, 1], b[:, 3], H, P, sampling_ratio)
+    Wx = pool_interp_matrix(b[:, 0], b[:, 2], W, P, sampling_ratio)
+
+    feat32 = feat.astype(jnp.float32)
+    out = jnp.zeros((N, P, W, C), jnp.float32)
+    for bi in range(B):
+        sel = (batch_idx == bi).astype(jnp.float32)[:, None, None]
+        ytmp = jnp.einsum("nph,hwc->npwc", Wy * sel, feat32[bi],
+                          preferred_element_type=jnp.float32)
+        out = out + ytmp
+    out = jnp.einsum("nqw,npwc->npqc", Wx, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(feat.dtype)
+
+
 def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, batch_idx: jnp.ndarray,
               out_size: int, spatial_scale: float = 1.0,
               sampling_ratio: int = 2) -> jnp.ndarray:

@@ -110,10 +110,11 @@ class Detector:
                 if len(rows) else rows
         return out
 
-    # ------------------------------------------------------------------ run
-    def run(self, images_or_paths, image_id=None, calib=None,
-            run_align: bool = True) -> Dict:
-        cfg = self.cfg
+    # --------------------------------------------------- pipelined stages
+    def load_and_pre(self, images_or_paths, calib):
+        """Host stages: image load + affine pre-process.  Runs fine on a
+        worker thread (reference: PrefetchDataset workers running
+        detector.pre_process, testVal.py:25-53)."""
         t0 = time.time()
         if isinstance(images_or_paths, (list, tuple)) and \
                 isinstance(images_or_paths[0], str):
@@ -122,7 +123,6 @@ class Detector:
         else:
             image, image_right = images_or_paths
         t_load = time.time()
-
         inp, inp_right, meta = self.pre_process(image, image_right, calib)
         batch = {
             "input": jnp.asarray(inp),
@@ -135,31 +135,50 @@ class Detector:
             "trans_inv": jnp.asarray(
                 meta["trans_inv"].astype(np.float32)[None]),
         }
-        jax.block_until_ready(batch["input"])
         t_pre = time.time()
+        return {"batch": batch, "meta": meta, "image": image,
+                "image_right": image_right, "t0": t0,
+                "load": t_load - t0, "pre": t_pre - t_load}
 
-        dets, dets_r, info = self.process(batch)
+    def dispatch(self, pre) -> Dict:
+        """Enqueue the device program WITHOUT waiting (JAX dispatch is
+        async): the chip computes frame i while the host post-processes
+        frame i-1 and a worker pre-processes frame i+1."""
+        t = time.time()
+        dets, dets_r, info = self._process(self.variables, pre["batch"])
+        pre.update(handles=(dets, dets_r, info), t_dispatch=time.time() - t)
+        return pre
+
+    def finish(self, pending, run_align: bool = True) -> Dict:
+        """Fetch the device outputs and run the post-processing tail."""
+        t_net0 = time.time()
+        dets, dets_r, info = pending["handles"]
+        jax.block_until_ready(info)
         t_net = time.time()
-
         dets = np.asarray(dets[0])
         dets_r = np.asarray(dets_r[0])
         info = np.asarray(info[0])
         t_dec = time.time()
-
-        results = process_frame(dets, dets_r, info, meta, cfg,
-                                img_left=image, img_right=image_right,
+        results = process_frame(dets, dets_r, info, pending["meta"], self.cfg,
+                                img_left=pending["image"],
+                                img_right=pending["image_right"],
                                 run_align=run_align)
         t_post = time.time()
-
         results = self.merge_outputs(results)
         t_end = time.time()
-
         return {
             "results": results,
-            "tot": t_end - t0, "load": t_load - t0, "pre": t_pre - t_load,
-            "net": t_net - t_pre, "dec": t_dec - t_net,
-            "post": t_post - t_dec, "merge": t_end - t_post,
+            "tot": t_end - pending["t0"], "load": pending["load"],
+            "pre": pending["pre"], "net": t_net - t_net0,
+            "dec": t_dec - t_net, "post": t_post - t_dec,
+            "merge": t_end - t_post,
         }
+
+    # ------------------------------------------------------------------ run
+    def run(self, images_or_paths, image_id=None, calib=None,
+            run_align: bool = True) -> Dict:
+        pre = self.load_and_pre(images_or_paths, calib)
+        return self.finish(self.dispatch(pre), run_align=run_align)
 
 
 def _fb_from_calib(calib) -> float:

@@ -24,6 +24,7 @@ def test_factory_families():
         create_model(cfg.replace(arch="hourglass_104"))
 
 
+@pytest.mark.slow
 def test_stereo_resnet_forward():
     cfg = Config(input_h=H, input_w=W, compute_dtype="float32",
                  arch="resdcn_18")
@@ -41,7 +42,8 @@ def test_stereo_resnet_forward():
         assert np.isfinite(np.asarray(v)).all()
 
 
-@pytest.mark.parametrize("arch", ["res_18", "dlav0_34"])
+@pytest.mark.parametrize("arch", [
+    "res_18", pytest.param("dlav0_34", marks=pytest.mark.slow)])
 def test_mono_legacy_forward(arch):
     cfg = Config(input_h=H, input_w=W, compute_dtype="float32", arch=arch)
     model = create_model(cfg)

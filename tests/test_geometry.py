@@ -100,3 +100,29 @@ def test_alpha_rot_y_roundtrip():
     ry = G.alpha_to_rot_y(alpha, x, 621.0, 721.0)
     back = G.rot_y_to_alpha(ry, x, 621.0, 721.0)
     np.testing.assert_allclose(back, alpha, atol=1e-9)
+
+
+def test_draw_dense_reg_paints_where_gaussian_dominates():
+    H, W, dim, radius = 20, 24, 2, 3
+    regmap = np.zeros((dim, H, W), np.float32)
+    heatmap = np.zeros((H, W), np.float32)
+    heatmap[10, 12] = 2.0  # already stronger than any gaussian value
+    G.draw_dense_reg(regmap, heatmap, (12, 10), [5.0, -3.0], radius)
+    # dominated everywhere except the pre-seeded peak cell
+    assert regmap[0, 10, 12] == 0.0 and regmap[1, 10, 12] == 0.0
+    assert regmap[0, 10, 13] == 5.0 and regmap[1, 10, 13] == -3.0
+    assert regmap[0, 7, 12] == 5.0
+    # untouched outside the radius window
+    assert regmap[0, 10, 12 + radius + 1] == 0.0
+
+
+def test_draw_dense_reg_offset_mode_subtracts_delta():
+    H, W, radius = 16, 16, 2
+    regmap = np.zeros((2, H, W), np.float32)
+    heatmap = np.zeros((H, W), np.float32)
+    G.draw_dense_reg(regmap, heatmap, (8, 8), [0.25, 0.75], radius,
+                     is_offset=True)
+    # offset patch stores value - (cell - center) per axis
+    assert regmap[0, 8, 9] == pytest.approx(0.25 - 1)
+    assert regmap[1, 9, 8] == pytest.approx(0.75 - 1)
+    assert regmap[0, 8, 8] == pytest.approx(0.25)

@@ -3,7 +3,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from side_tpu.ops.roi_align import roi_align
+from side_tpu.ops.roi_align import roi_align, roi_align_mm
 
 
 def _numpy_oracle(feat_nhwc, boxes, batch_idx, out_size, scale, ratio):
@@ -75,6 +75,66 @@ def test_degenerate_and_tiny_rois():
     oracle = _numpy_oracle(feat, boxes, batch_idx, 4, 1.0, 2)
     np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-4)
     assert np.isfinite(ours).all()
+
+
+@pytest.mark.parametrize("scale", [1.0, 0.5])
+def test_mm_matches_oracle(scale):
+    rng = np.random.RandomState(0)
+    feat = rng.randn(2, 24, 40, 8).astype(np.float32)
+    boxes = np.array([
+        [5.0, 3.0, 20.0, 18.0],
+        [0.0, 0.0, 39.0, 23.0],
+        [10.2, 7.7, 13.9, 12.3],
+        [-3.0, -2.0, 10.0, 8.0],
+        [35.0, 20.0, 45.0, 30.0],
+    ], np.float32)
+    batch_idx = np.array([0, 1, 0, 1, 0], np.int32)
+    ours = np.asarray(roi_align_mm(jnp.asarray(feat), jnp.asarray(boxes),
+                                   jnp.asarray(batch_idx), 7,
+                                   spatial_scale=scale, sampling_ratio=2))
+    oracle = _numpy_oracle(feat, boxes, batch_idx, 7, scale, 2)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_mm_matches_gather_impl():
+    rng = np.random.RandomState(3)
+    feat = rng.randn(2, 24, 40, 8).astype(np.float32)
+    boxes = (rng.rand(32, 4) * np.array([40, 24, 40, 24])).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:] - boxes[:, :2])
+    batch_idx = rng.randint(0, 2, 32).astype(np.int32)
+    a = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                             jnp.asarray(batch_idx), 7))
+    b = np.asarray(roi_align_mm(jnp.asarray(feat), jnp.asarray(boxes),
+                                jnp.asarray(batch_idx), 7))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_cost_volume_mm_matches_gather():
+    """The matmul cost-volume builder (shared y-contraction across depth
+    bins and views) equals the per-bin gather RoIAlign builder."""
+    from side_tpu.models.cost_volume import (build_cost_volume,
+                                             build_cost_volume_gather,
+                                             proposal_shift)
+    rng = np.random.RandomState(4)
+    B, K, D, H, W, C = 2, 6, 5, 24, 80, 8
+    feat_l = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    feat_r = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    cx = rng.uniform(10, 70, (B, K))
+    cy = rng.uniform(5, 18, (B, K))
+    w = rng.uniform(3, 12, (B, K))
+    h = rng.uniform(2, 6, (B, K))
+    bbox = jnp.asarray(np.stack([cx - w, cy - h, cx + w, cy + h], -1),
+                       jnp.float32)
+    disp = rng.uniform(0.5, 4.0, (B, K, 1))
+    bbox_r = np.asarray(bbox).copy()
+    bbox_r[..., 0] -= disp[..., 0]
+    bbox_r[..., 2] -= disp[..., 0]
+    rois_l, rois_r, _ = proposal_shift(bbox, jnp.asarray(bbox_r),
+                                       jnp.full((B,), 380.0, jnp.float32),
+                                       D, W)
+    a = np.asarray(build_cost_volume_gather(feat_l, feat_r, rois_l, rois_r, 7))
+    b = np.asarray(build_cost_volume(feat_l, feat_r, rois_l, rois_r, 7))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
 def test_constant_map_pools_constant():

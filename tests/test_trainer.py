@@ -59,6 +59,7 @@ class _ListLoader(list):
     pass
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_reduces_loss():
     cfg = _cfg()
     model, variables = _model_and_vars(cfg)
@@ -78,6 +79,7 @@ def test_train_step_runs_and_reduces_loss():
     assert np.isfinite(v["loss"])
 
 
+@pytest.mark.slow
 def test_uncert_weights_are_learned():
     cfg = _cfg(uncert=True)
     model, variables = _model_and_vars(cfg)
@@ -91,6 +93,7 @@ def test_uncert_weights_are_learned():
     assert np.abs(lw1 - lw0).max() > 0
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _cfg()
     model, variables = _model_and_vars(cfg)

@@ -39,35 +39,34 @@ def main():
     variables = jax.jit(lambda r: init_stereo_net(
         model, r, cfg.input_h, cfg.input_w, 50))(jax.random.PRNGKey(0))
 
-    def fwd_nocv(v, b):
-        out = model.apply(v, b, use_cost_volume=False, train=False)
-        return out["hm"].astype(jnp.float32).sum()
+    # ONE compiled program; the measurement loop chains dispatches through a
+    # scalar carry (data-dependency-serial like the scan protocol, but the
+    # scan versions compile the body n times slower with Pallas kernels)
+    @jax.jit
+    def step(v, b, carry):
+        bb = dict(b)
+        bb["input"] = b["input"] + carry
+        out = model.apply(v, bb, use_cost_volume=False, train=False)
+        s = out["hm"].astype(jnp.float32).sum()
+        return (s * 1e-6).astype(b["input"].dtype)
 
-    def chained(v, b, n):
-        def step(carry, _):
-            bb = dict(b)
-            bb["input"] = b["input"] + carry
-            s = fwd_nocv(v, bb)
-            return (s * 1e-6).astype(b["input"].dtype), s
-        _, ss = jax.lax.scan(step, jnp.zeros((), b["input"].dtype),
-                             None, length=n)
-        return ss
-
-    run = jax.jit(chained, static_argnames=("n",))
-    n_small, n_big = 5, 25
     t0 = time.time()
-    c_s = run.lower(variables, batch, n=n_small).compile()
-    c_b = run.lower(variables, batch, n=n_big).compile()
-    print(f"compiled in {time.time()-t0:.0f}s", flush=True)
+    carry = step(variables, batch, jnp.zeros((), batch["input"].dtype))
+    float(carry)
+    print(f"compiled+first-run in {time.time()-t0:.0f}s", flush=True)
 
-    def t(c):
+    def t(n):
+        carry = jnp.zeros((), batch["input"].dtype)
         t0 = time.perf_counter()
-        float(jnp.sum(c(variables, batch)))
+        for _ in range(n):
+            carry = step(variables, batch, carry)
+        float(carry)
         return time.perf_counter() - t0
 
-    t(c_s)
-    ts = min(t(c_s) for _ in range(2))
-    tb = min(t(c_b) for _ in range(2))
+    n_small, n_big = 5, 25
+    t(2)
+    ts = min(t(n_small) for _ in range(2))
+    tb = min(t(n_big) for _ in range(2))
     per = (tb - ts) / (n_big - n_small)
     mode = os.environ.get("SIDE_TPU_DCN", "exact")
     r = os.environ.get("SIDE_TPU_DCN_RADIUS", "2")

@@ -47,6 +47,32 @@ def main():
 
     detector = Detector(cfg)
 
+    video_ext = ("mp4", "mov", "avi", "mkv")
+
+    def is_video(p):
+        return p.rsplit(".", 1)[-1].lower() in video_ext
+
+    if "," in cfg.demo and all(is_video(p) for p in cfg.demo.split(",")):
+        # stereo video mode (reference demo.py:24-36; its webcam branch is
+        # stale for the stereo task — one camera cannot feed a stereo pair,
+        # so here video means a synchronized left,right file pair)
+        lp, rp = cfg.demo.split(",")
+        cam_l, cam_r = cv2.VideoCapture(lp), cv2.VideoCapture(rp)
+        idx = 0
+        while True:
+            ok_l, img_l = cam_l.read()
+            ok_r, img_r = cam_r.read()
+            if not (ok_l and ok_r):
+                break
+            ret = detector.run([img_l, img_r], image_id=idx, calib=calib)
+            msg = f"frame {idx}: "
+            for stage in ["tot", "load", "pre", "net", "dec", "post",
+                          "merge"]:
+                msg += f"{stage} {ret[stage]:.3f}s |"
+            print(msg, flush=True)
+            idx += 1
+        return
+
     if "," in cfg.demo:
         pairs = [tuple(cfg.demo.split(","))]
     else:

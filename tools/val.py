@@ -7,8 +7,10 @@
 
 import argparse
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -47,6 +49,7 @@ def main():
     num_images = -1
     no_align = False
     profile = False
+    serial = False
     rest = []
     i = 0
     while i < len(argv):
@@ -56,6 +59,8 @@ def main():
             no_align = True; i += 1
         elif argv[i] == "--profile":
             profile = True; i += 1
+        elif argv[i] == "--serial":
+            serial = True; i += 1
         elif argv[i] == "--no_eval":
             rest.append(argv[i]); i += 1
         else:
@@ -77,19 +82,65 @@ def main():
         prof_dir = os.path.join(cfg.save_dir, "profile")
         os.makedirs(prof_dir, exist_ok=True)
         jax.profiler.start_trace(prof_dir)
-    for ind in range(n):
-        img_id = ds.images[ind]
-        info = ds.coco.images[img_id]
-        lp = os.path.join(ds.img_dir, info["file_name"])
-        rp = os.path.join(ds.img_right_dir, info["file_name"])
-        ret = detector.run([lp, rp], image_id=img_id, calib=info["calib"],
-                           run_align=not no_align)
+    t_wall0 = time.time()
+
+    def report(ind, img_id, ret):
         results[img_id] = ret["results"]
         msg = f"[{ind + 1}/{n}] {img_id:06d} "
         for k in meters:
             meters[k].update(ret[k])
             msg += f"|{k} {ret[k]:.3f}s ({meters[k].avg:.3f}s) "
         print(msg, flush=True)
+
+    if serial:
+        for ind in range(n):
+            img_id = ds.images[ind]
+            info = ds.coco.images[img_id]
+            lp = os.path.join(ds.img_dir, info["file_name"])
+            rp = os.path.join(ds.img_right_dir, info["file_name"])
+            ret = detector.run([lp, rp], image_id=img_id,
+                               calib=info["calib"],
+                               run_align=not no_align)
+            report(ind, img_id, ret)
+    else:
+        # Pipelined eval (reference: PrefetchDataset workers overlapping
+        # pre_process with GPU compute, testVal.py:25-53,76-78): a worker
+        # thread runs load+pre ahead of the device; the main thread
+        # dispatches frame i's device program asynchronously, then finishes
+        # frame i-1 (fetch + post-process tail) while the chip computes.
+        q = queue.Queue(maxsize=4)
+
+        def producer():
+            for ind in range(n):
+                img_id = ds.images[ind]
+                info = ds.coco.images[img_id]
+                lp = os.path.join(ds.img_dir, info["file_name"])
+                rp = os.path.join(ds.img_right_dir, info["file_name"])
+                pre = detector.load_and_pre([lp, rp], info["calib"])
+                q.put((ind, img_id, pre))
+            q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        pending = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            ind, img_id, pre = item
+            dispatched = (ind, img_id, detector.dispatch(pre))
+            if pending is not None:
+                pind, pid, p = pending
+                report(pind, pid, detector.finish(p, run_align=not no_align))
+            pending = dispatched
+        if pending is not None:
+            pind, pid, p = pending
+            report(pind, pid, detector.finish(p, run_align=not no_align))
+
+    wall = time.time() - t_wall0
+    if n > 1:
+        print(f"[val] wall {wall:.1f}s for {n} images = {wall/n*1e3:.0f} "
+              f"ms/image ({'serial' if serial else 'pipelined'}); "
+              f"pure net avg {meters['net'].avg*1e3:.0f} ms", flush=True)
 
     if profile:
         jax.profiler.stop_trace()
