@@ -53,8 +53,16 @@ from .deform_conv import deform_conv2d_windowed
 # VMEM; the XLA default budget is 16M which round 1 overflowed in-model.
 _VMEM_LIMIT = int(_os.environ.get("SIDE_TPU_DCN_VMEM", str(96 * 1024 * 1024)))
 # sy accumulation: "full" unrolls everything (static slices); "fori" runs
-# the row shifts in a fori_loop (smaller compile, dynamic sublane starts)
-_UNROLL = _os.environ.get("SIDE_TPU_DCN_UNROLL", "full")
+# the row shifts in a fori_loop (smaller compile, dynamic sublane starts).
+# In-model the fully unrolled program never finished the Mosaic compile;
+# fori is the production default.
+_UNROLL = _os.environ.get("SIDE_TPU_DCN_UNROLL", "fori")
+# pack the image batch into the lane dimension for C<=128 layers (b-major;
+# see _dcn_kernel_packed) — 2.7-3.5x at the DLA shapes
+_PACK = _os.environ.get("SIDE_TPU_DCN_PACK", "1") == "1"
+# lane-expansion strategy inside the packed kernel (see _lane_expand:
+# "reshape" is rejected by this Mosaic version)
+_EXPAND = _os.environ.get("SIDE_TPU_DCN_EXPAND", "repeat")
 
 
 def _pick_tile_h(H: int, W: int, C: int, R: int) -> int:
@@ -96,10 +104,11 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
 
         # triangle weights per axis, S of each (instead of S^2 pair products
         # recomputed from scratch)
-        wy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - s)) for s in
-              range(-R, R + 2)]
         wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - s)) for s in
               range(-R, R + 2)]
+        if _UNROLL == "full":
+            wy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - s)) for s in
+                  range(-R, R + 2)]
 
         # sample row (padded coords) of output row r is r + PAD-1 + ty + sy;
         # the scratch starts at padded row row0 + PAD-1-R, so the in-scratch
@@ -115,11 +124,19 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                         x32_ref[ry:ry + tile_h, cxs:cxs + W, :] * \
                         w2[:, :, None]
         else:
-            wys = jnp.stack(wy)          # (S, tile_h, W)
-
-            def row_body(i, carry, ty=ty, tx=tx, wxl=wx):
+            # fori over the row shifts: 6x fewer unrolled statements than
+            # "full" (Mosaic compile time scales with statement count; the
+            # fully unrolled variant never finished compiling in-model).
+            # The triangle weight is recomputed from the loop index — a
+            # dynamic_index into a stacked VALUE lowers to an unsupported
+            # Mosaic dynamic_slice, while ref loads with dynamic SUBLANE
+            # starts (pl.ds on x32_ref) are supported.  Accumulation stays
+            # in the ref: a large value carry compiled 5x slower and ran
+            # slightly worse (158 vs 146 ms in-model).
+            def row_body(i, carry, ty=ty, tx=tx, dyk=dy, wxl=wx):
                 xs = x32_ref[pl.ds(ty + i, tile_h)]
-                wyi = jax.lax.dynamic_index_in_dim(wys, i, 0, False)
+                syf = i.astype(jnp.float32) - R
+                wyi = jnp.maximum(0.0, 1.0 - jnp.abs(dyk - syf))
                 for ix, sx in enumerate(range(-R, R + 2)):
                     cxs = PAD - 1 + tx + sx
                     acc_ref[:] = acc_ref[:] + \
@@ -138,8 +155,177 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
     out_ref[0] = out.reshape(tile_h, W, Cout).astype(out_ref.dtype)
 
 
+def _lane_expand(v, C: int):
+    """(th, W, P) -> (th, W, C*P): per-image values replicated across C
+    lanes in C-MAJOR order (lane = c*P + b, matching the packed x layout).
+    Strategy via SIDE_TPU_DCN_EXPAND:
+
+    "repeat" (default): concatenate C copies along lanes — with c-major
+    packing the replication IS a block-tile, no arithmetic at all.
+    "matmul": contract against a constant 0/1 matrix at HIGHEST precision
+    (the default TPU f32 matmul rounds through bf16, which would quantise
+    every offset/mask to 8 mantissa bits); costs ~1.2 ms/layer more than
+    repeat at the big DLA shape.
+    "reshape" (broadcast + minor-dim merge) is rejected by this Mosaic
+    version ("infer-vector-layout: unsupported shape cast")."""
+    th, W, P = v.shape
+    if _EXPAND == "repeat":
+        return pltpu.repeat(v, C, axis=2)
+    if _EXPAND == "reshape":
+        return jnp.broadcast_to(v[:, :, None, :], (th, W, C, P)).reshape(
+            th, W, C * P)
+    # 0/1 matrix (P, C*P) built from iota — a captured numpy constant is
+    # rejected by pallas_call, and iota lowers fine in Mosaic
+    E = (jax.lax.broadcasted_iota(jnp.int32, (P, C * P), 1) % P ==
+         jax.lax.broadcasted_iota(jnp.int32, (P, C * P), 0)
+         ).astype(jnp.float32)
+    out = jax.lax.dot_general(v.reshape(th * W, P), E,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(th, W, C * P)
+
+
+def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
+                       x32_ref, cols_ref, acc_ref, *,
+                       H, W, C, Cout, P, tile_h, R, PAD):
+    """Batch-packed variant: the image batch lives in the LANE dimension
+    (C-MAJOR: lane = c*P + b), so C<=128 layers still fill the 128-lane
+    VPU.  Measured on v5e at the DLA shapes: C=64 runs at 0.26 TFLOP/s
+    unpacked vs 0.92 packed (see tools/dcn_layer_bench.py proxies).
+    C-major makes the per-image offset/mask lane expansion a pure
+    block-tile (pltpu.repeat) instead of a matmul.  The weight matrix is
+    block-diagonal over the batch so the MXU contraction cannot mix
+    images (P**2 x more weight FLOPs, still <1 ms total)."""
+    t = pl.program_id(1)
+    row0 = t * tile_h
+
+    offs = off_ref[0]                    # (tile_h, W, 18*P) f32, comp-major
+    masks = mask_ref[0]                  # (tile_h, W, 9*P) f32
+    S = 2 * R + 2
+    CP = P * C
+
+    win_rows = tile_h + 2 * R + 3
+    x32_ref[:] = x_ref[0, pl.ds(row0 + PAD - 1 - R, win_rows), :, :
+                       ].astype(jnp.float32)
+
+    for k in range(9):
+        ty, tx = k // 3, k % 3
+        dy = jnp.clip(offs[:, :, 2 * k * P:(2 * k + 1) * P], -R, R)
+        dx = jnp.clip(offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P], -R, R)
+        dyE = _lane_expand(dy, C)                       # (tile_h, W, P*C)
+        dxE = _lane_expand(dx, C)
+        mkE = _lane_expand(masks[:, :, k * P:(k + 1) * P], C)
+
+        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dxE - s)) for s in
+              range(-R, R + 2)]
+
+        acc_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+
+        def row_body(i, carry, ty=ty, tx=tx, dyE=dyE, wxl=wx):
+            xs = x32_ref[pl.ds(ty + i, tile_h)]
+            syf = i.astype(jnp.float32) - R
+            wyi = jnp.maximum(0.0, 1.0 - jnp.abs(dyE - syf))
+            for ix, sx in enumerate(range(-R, R + 2)):
+                cxs = PAD - 1 + tx + sx
+                acc_ref[:] = acc_ref[:] + \
+                    xs[:, cxs:cxs + W, :] * (wyi * wxl[ix])
+            return carry
+
+        jax.lax.fori_loop(0, S, row_body, 0)
+        cols_ref[:, k * CP:(k + 1) * CP] = (acc_ref[:] * mkE).reshape(
+            tile_h * W, CP).astype(cols_ref.dtype)
+
+    out = jax.lax.dot_general(
+        cols_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out + b_ref[:].astype(jnp.float32)
+    out_ref[0] = out.reshape(tile_h, W, P * Cout).astype(out_ref.dtype)
+
+
+def _pick_tile_h_packed(H: int, W: int, CP: int, R: int) -> int:
+    """Packed tiles carry 9 extra full-size f32 temps (wx list + expanded
+    offsets/mask) on top of the scratches; budget accordingly."""
+    per_row_scr = (W + 2 * (R + 2)) * CP * 4
+    per_row_tmp = W * CP * 4 * 11 + W * 9 * CP * 2
+    budget = _VMEM_LIMIT // 2
+    for t in (16, 12, 8, 6, 4, 3, 2, 1):
+        if H % t == 0 and \
+                (t + 2 * R + 3) * per_row_scr + t * per_row_tmp <= budget:
+            return t
+    return 1
+
+
+def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
+    B, H, W, C = x.shape
+    Cout = weight.shape[-1]
+    R = radius
+    PAD = 1 + R + 1
+    CP = B * C
+    tile_h = _pick_tile_h_packed(H, W, CP, R)
+
+    # batch -> lanes, c-major (lane = c*B + b) so _lane_expand is a tile
+    xP = x.transpose(1, 2, 3, 0).reshape(1, H, W, CP)
+    offP = offset18.transpose(1, 2, 3, 0).reshape(1, H, W, 18 * B)
+    maskP = mask.transpose(1, 2, 3, 0).reshape(1, H, W, 9 * B)
+    # block-diagonal weights: rows ordered (tap, cin, b), cols (cout, b)
+    wfull = weight.reshape(9, C, Cout).astype(jnp.float32)
+    eyeB = jnp.eye(B, dtype=jnp.float32)
+    wBig = jnp.einsum("kco,bd->kcbod", wfull, eyeB).reshape(
+        9 * B * C, B * Cout)
+    biasBig = jnp.repeat(bias.astype(jnp.float32), B)
+
+    xp = jnp.pad(xP, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+    Hp, Wp = H + 2 * PAD, W + 2 * PAD
+    try:
+        xp = pltpu.with_memory_space_constraint(xp, pltpu.HBM)
+    except Exception:
+        pass
+
+    kern = functools.partial(_dcn_kernel_packed, H=H, W=W, C=C, Cout=Cout,
+                             P=B, tile_h=tile_h, R=R, PAD=PAD)
+    grid = (1, H // tile_h)
+    win_rows = tile_h + 2 * R + 3
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, CP), lambda b, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, W, 18 * B), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, W, 9 * B), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * CP, B * Cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * Cout,), lambda b, t: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, B * Cout),
+                               lambda b, t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, H, W, B * Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((win_rows, Wp, CP), jnp.float32),
+                        pltpu.VMEM((tile_h * W, 9 * CP), x.dtype),
+                        pltpu.VMEM((tile_h, W, CP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * C * Cout * B +
+            B * H * W * 9 * (2 * R + 2) ** 2 * C * 2,
+            bytes_accessed=Hp * Wp * CP * x.dtype.itemsize,
+            transcendentals=0),
+    )(xp, offP, maskP, wBig, biasBig)
+    return out.reshape(H, W, Cout, B).transpose(3, 0, 1, 2)
+
+
 def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
     B, H, W, C = x.shape
+    if _PACK and B > 1 and C <= 128 and B * C <= 1024:
+        return _pallas_forward_packed(x, offset18, mask, weight, bias,
+                                      radius)
     Cout = weight.shape[-1]
     R = radius
     PAD = 1 + R + 1

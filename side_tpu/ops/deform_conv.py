@@ -233,8 +233,25 @@ def deform_conv2d_windowed(x: jnp.ndarray, offset: jnp.ndarray,
 # deformable-conv implementation: "exact" = gather-based (bit-faithful to
 # the reference, unbounded offsets), "windowed" = XLA shift decomposition,
 # "pallas" = fused Mosaic kernel of the windowed form; the windowed forms
-# clamp offsets to +-SIDE_TPU_DCN_RADIUS (default 2)
-_DCN_MODE = _os.environ.get("SIDE_TPU_DCN", "exact")
+# clamp offsets to +-SIDE_TPU_DCN_RADIUS (default 2).
+# Production default on TPU is the Pallas kernel (the exact gather path
+# scalarises to ~215 ms/step on v5e — see the _GATHER_MODE table); on CPU
+# (tests, virtual meshes) Mosaic cannot lower, so default to exact.
+
+
+_DCN_MODE = _os.environ.get("SIDE_TPU_DCN")  # resolved lazily: backend
+# init must not happen at import time (jax.distributed.initialize ordering)
+
+
+def _resolve_mode() -> str:
+    global _DCN_MODE
+    if _DCN_MODE is None:
+        try:
+            _DCN_MODE = ("pallas" if jax.default_backend() == "tpu"
+                         else "exact")
+        except Exception:
+            _DCN_MODE = "exact"
+    return _DCN_MODE
 _DCN_RADIUS = int(_os.environ.get("SIDE_TPU_DCN_RADIUS", "2"))
 
 
@@ -242,11 +259,12 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
                   stride: int = 1, padding: int = 1, dilation: int = 1
                   ) -> jnp.ndarray:
-    if _DCN_MODE == "pallas":
+    mode = _resolve_mode()
+    if mode == "pallas":
         from .dcn_pallas import deform_conv2d_pallas
         return deform_conv2d_pallas(x, offset, mask, weight, bias, stride,
                                     padding, dilation, radius=_DCN_RADIUS)
-    if _DCN_MODE == "windowed":
+    if mode == "windowed":
         return deform_conv2d_windowed(x, offset, mask, weight, bias,
                                       stride, padding, dilation,
                                       radius=_DCN_RADIUS)

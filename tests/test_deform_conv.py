@@ -234,3 +234,54 @@ def test_pallas_kernel_gradients():
     assert np.isfinite(np.asarray(g_o)).all()
     assert np.isfinite(np.asarray(g_w)).all()
     assert float(jnp.abs(g_w).sum()) > 0
+
+
+def test_pallas_fori_matches_full_unroll():
+    """The fori-loop kernel variant (production: the fully unrolled one is
+    too large for Mosaic to compile in-model) equals the unrolled variant."""
+    from side_tpu.ops import dcn_pallas as DP
+    import unittest.mock as um
+    rng = np.random.RandomState(13)
+    B, H, W, Cin, Cout = 1, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    offset = jnp.asarray(rng.uniform(-2, 2, (B, H, W, 9, 2)), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+
+    outs = {}
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        for mode in ("full", "fori"):
+            with um.patch.object(DP, "_UNROLL", mode):
+                outs[mode] = np.asarray(DP.deform_conv2d_pallas(
+                    x, offset, mask, w, b))
+    np.testing.assert_allclose(outs["fori"], outs["full"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_packed_matches_unpacked():
+    """The batch-packed kernel (batch in the lane dim; production for the
+    C<=128 DLA layers) equals the per-image kernel: pins the c-major lane
+    permutation, the block-diagonal weight layout, and the exactness of the
+    lane expansion (a default-precision f32 matmul expansion would round
+    every offset/mask through bf16)."""
+    from side_tpu.ops import dcn_pallas as DP
+    import unittest.mock as um
+    rng = np.random.RandomState(14)
+    B, H, W, Cin, Cout = 4, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    offset = jnp.asarray(rng.uniform(-2, 2, (B, H, W, 9, 2)), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+
+    outs = {}
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        for pack in (False, True):
+            with um.patch.object(DP, "_PACK", pack):
+                outs[pack] = np.asarray(DP.deform_conv2d_pallas(
+                    x, offset, mask, w, b))
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-5, atol=1e-5)

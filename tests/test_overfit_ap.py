@@ -130,6 +130,7 @@ def test_fixture_overfit_ap(tmp_path):
 
 if __name__ == "__main__":
     import tempfile
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     tmp = tempfile.mkdtemp(prefix="overfit_ap_")
     epochs = int(os.environ.get("OVERFIT_EPOCHS", "160"))
     align = os.environ.get("OVERFIT_ALIGN", "1") == "1"
