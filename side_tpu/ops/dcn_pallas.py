@@ -61,8 +61,18 @@ _UNROLL = _os.environ.get("SIDE_TPU_DCN_UNROLL", "fori")
 # see _dcn_kernel_packed) — 2.7-3.5x at the DLA shapes
 _PACK = _os.environ.get("SIDE_TPU_DCN_PACK", "1") == "1"
 # lane-expansion strategy inside the packed kernel (see _lane_expand:
-# "reshape" is rejected by this Mosaic version)
-_EXPAND = _os.environ.get("SIDE_TPU_DCN_EXPAND", "repeat")
+# "reshape" is rejected by this Mosaic version, and "repeat" at tile 8
+# overflowed chip VMEM / at tile 4 ran 14% slower than matmul at tile 8)
+_EXPAND = _os.environ.get("SIDE_TPU_DCN_EXPAND", "matmul")
+
+
+def _vmem_request(need_bytes: int) -> int:
+    """Scoped-VMEM budget to request for one kernel: the estimated need
+    plus margin, never the flat ceiling.  A flat 96M request starves XLA's
+    co-scheduled buffers of stack space and OOMs the 128M chip VMEM on
+    programs whose kernels only need a fraction of it (seen with the B=1
+    f32 eval layers)."""
+    return max(32 << 20, min(_VMEM_LIMIT, int(need_bytes * 1.4)))
 
 
 def _pick_tile_h(H: int, W: int, C: int, R: int) -> int:
@@ -137,10 +147,14 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                 xs = x32_ref[pl.ds(ty + i, tile_h)]
                 syf = i.astype(jnp.float32) - R
                 wyi = jnp.maximum(0.0, 1.0 - jnp.abs(dyk - syf))
+                # accumulate the 6 unrolled sx terms in a value and touch
+                # the ref once per iteration: 6x fewer VMEM row-trips
+                local = acc_ref[:]
                 for ix, sx in enumerate(range(-R, R + 2)):
                     cxs = PAD - 1 + tx + sx
-                    acc_ref[:] = acc_ref[:] + \
+                    local = local + \
                         xs[:, cxs:cxs + W, :] * (wyi * wxl[ix])[:, :, None]
+                acc_ref[:] = local
                 return carry
 
             jax.lax.fori_loop(0, S, row_body, 0)
@@ -213,6 +227,9 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
         ty, tx = k // 3, k % 3
         dy = jnp.clip(offs[:, :, 2 * k * P:(2 * k + 1) * P], -R, R)
         dx = jnp.clip(offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P], -R, R)
+        # pre-expand per tap (27 expansions/tile).  Expanding only the
+        # per-TERM product (324 expansions) uses less VMEM but its Mosaic
+        # compile never finished; per-tap is the workable middle.
         dyE = _lane_expand(dy, C)                       # (tile_h, W, P*C)
         dxE = _lane_expand(dx, C)
         mkE = _lane_expand(masks[:, :, k * P:(k + 1) * P], C)
@@ -226,6 +243,9 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
             xs = x32_ref[pl.ds(ty + i, tile_h)]
             syf = i.astype(jnp.float32) - R
             wyi = jnp.maximum(0.0, 1.0 - jnp.abs(dyE - syf))
+            # per-term ref accumulation: a value carry of the CP-wide
+            # accumulator spills here (measured 29% slower at the big
+            # shape), unlike the narrower unpacked kernel where it wins
             for ix, sx in enumerate(range(-R, R + 2)):
                 cxs = PAD - 1 + tx + sx
                 acc_ref[:] = acc_ref[:] + \
@@ -244,11 +264,15 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
     out_ref[0] = out.reshape(tile_h, W, P * Cout).astype(out_ref.dtype)
 
 
-def _pick_tile_h_packed(H: int, W: int, CP: int, R: int) -> int:
-    """Packed tiles carry 9 extra full-size f32 temps (wx list + expanded
-    offsets/mask) on top of the scratches; budget accordingly."""
+def _pick_tile_h_packed(H: int, W: int, CP: int, R: int,
+                        itemsize: int) -> int:
+    """Packed tiles carry 11 full-size f32 temps (wx list + expanded
+    offsets/mask + acc + wyi) on top of the scratches; budget accordingly.
+    (Empirically calibrated: tile 8 at the big DLA shape fits with the
+    matmul expansion and is 14% faster than the tile 4 a stricter budget
+    forces.)"""
     per_row_scr = (W + 2 * (R + 2)) * CP * 4
-    per_row_tmp = W * CP * 4 * 11 + W * 9 * CP * 2
+    per_row_tmp = W * CP * 4 * 11 + W * 9 * CP * itemsize
     budget = _VMEM_LIMIT // 2
     for t in (16, 12, 8, 6, 4, 3, 2, 1):
         if H % t == 0 and \
@@ -263,7 +287,7 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
     R = radius
     PAD = 1 + R + 1
     CP = B * C
-    tile_h = _pick_tile_h_packed(H, W, CP, R)
+    tile_h = _pick_tile_h_packed(H, W, CP, R, jnp.dtype(x.dtype).itemsize)
 
     # batch -> lanes, c-major (lane = c*B + b) so _lane_expand is a tile
     xP = x.transpose(1, 2, 3, 0).reshape(1, H, W, CP)
@@ -287,6 +311,15 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
                              P=B, tile_h=tile_h, R=R, PAD=PAD)
     grid = (1, H // tile_h)
     win_rows = tile_h + 2 * R + 3
+    itemsize = jnp.dtype(x.dtype).itemsize
+    vmem_req = _vmem_request(
+        2 * (H + 2 * PAD) * (W + 2 * PAD) * CP * itemsize     # x block x2
+        + 9 * CP * B * Cout * 4 + B * Cout * 4                # weights
+        + 2 * tile_h * W * 27 * B * 4                         # off+mask x2
+        + 2 * tile_h * W * B * Cout * itemsize                # out x2
+        + win_rows * (W + 2 * PAD) * CP * 4                   # win scratch
+        + tile_h * W * 9 * CP * itemsize                      # cols
+        + 5 * tile_h * W * CP * 4)                            # acc + temps
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -311,7 +344,7 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
                         pltpu.VMEM((tile_h, W, CP), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_req),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * C * Cout * B +
             B * H * W * 9 * (2 * R + 2) ** 2 * C * 2,
@@ -343,6 +376,15 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
                              tile_h=tile_h, R=R, PAD=PAD)
     grid = (B, H // tile_h)
     win_rows = tile_h + 2 * R + 3
+    itemsize = jnp.dtype(x.dtype).itemsize
+    vmem_req = _vmem_request(
+        2 * Hp * Wp * C * itemsize                            # x block x2
+        + 9 * C * Cout * 4 + Cout * 4                         # weights
+        + 2 * tile_h * W * 27 * 4                             # off+mask x2
+        + 2 * tile_h * W * Cout * itemsize                    # out x2
+        + win_rows * Wp * C * 4                               # win scratch
+        + tile_h * W * 9 * C * itemsize                       # cols
+        + 7 * tile_h * W * C * 4)                             # acc + temps
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -369,7 +411,7 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
                         pltpu.VMEM((tile_h, W, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_req),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * C * Cout +
             B * H * W * 9 * (2 * R + 2) ** 2 * C * 2,
@@ -396,9 +438,20 @@ def _dcn_fwd(x, offset18, mask, weight, bias, radius):
         (x, offset18, mask, weight, bias)
 
 
+# backward implementation: "pallas" = fused Mosaic col2im/col2im_coord
+# kernels for the batch-packed layers (~85% of the DCN work; the XLA VJP
+# left the train step backward-bound), "xla" = autodiff of the windowed
+# decomposition for everything else
+_BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "pallas")
+
+
 def _dcn_bwd(radius, res, g):
-    # backward through the mathematically identical XLA windowed path
     x, offset18, mask, weight, bias = res
+    B, H, W, C = x.shape
+    if _BWD == "pallas" and _PACK and B > 1 and C <= 128 and B * C <= 1024:
+        from .dcn_pallas_bwd import dcn_packed_backward
+        return dcn_packed_backward(x, offset18, mask, weight, g, radius)
+    # fall back to the mathematically identical XLA windowed path
     _, vjp = jax.vjp(
         lambda *a: _xla_equivalent(*a, radius), x, offset18, mask, weight,
         bias)

@@ -1,0 +1,371 @@
+"""Pallas TPU backward kernels for the windowed deformable convolution.
+
+The training-step profile made the backward the wall: with the Pallas
+forward in place, the XLA windowed VJP (autodiff of
+deform_conv2d_windowed's 324 shifted multiply-accumulates, reference
+col2im/col2im_coord kernels dcn_v2_im2col_cuda.cu:197,256) left the train
+step at ~645 ms/batch-2 — ~500 ms of it DCN backward.  These kernels
+replace it for the batch-packed (C<=128) layers that carry ~85% of the
+DCN work; the rest falls back to the XLA VJP.
+
+Two kernels, mirroring the forward's batch-packed lane layout
+(c-major lanes, lane = c*P + b — see dcn_pallas._dcn_kernel_packed):
+
+* d_x ("col2im"): an ALL-READ formulation — no scatters.  Each input
+  pixel p receives Sum_{k,s} tri_y(dy_k[q]) tri_x(dx_k[q]) mask_k[q]
+  (g W_k^T)[q] over q = p - tap_k - s, so with g/offset/mask padded by
+  the halo every contribution is a STATIC slice of halo-wide planes:
+  per (k, s) one plane z = wy*wx*u_k is built, then added at 9 static
+  tap shifts.  g W_k^T is one block-diagonal MXU matmul per tap.
+* d_offset/d_mask/d_weight ("col2im_coord"): recomputes the forward
+  column accumulation with two extra derivative accumulators
+  (d tri = -sign inside the unit support), reduces over each image's
+  channel lanes with a 0/1 matrix at HIGHEST precision (the per-image
+  reduction is a lane-segment sum), and accumulates d_weight across
+  row-tiles in a resident output block.
+
+Gradient semantics match jax.vjp of deform_conv2d_windowed (same clamp
+rule: offsets outside [-R, R] get zero gradient), verified in interpret
+mode by tests/test_deform_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import dcn_pallas as _fwd
+
+
+def _lane_reduce(v, P: int):
+    """(n, C*P) -> (n, P): sum over each image's C lanes (c-major packing).
+    A lane-segment reduction, done as a matmul against a 0/1 matrix at
+    HIGHEST precision (default f32 matmuls round through bf16)."""
+    n, CP = v.shape
+    E = (jax.lax.broadcasted_iota(jnp.int32, (CP, P), 0) % P ==
+         jax.lax.broadcasted_iota(jnp.int32, (CP, P), 1)
+         ).astype(jnp.float32)
+    return jax.lax.dot_general(v, E,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _windows(a, starts, rows: int):
+    """(Hp, Wp, L) -> (T, rows, Wp, L): overlapping row windows, one per
+    row-tile, materialised in HBM by an XLA gather.  Feeding the kernels
+    halo'd TILED blocks instead of whole resident images keeps the kernel
+    VMEM footprint per-tile (the resident form double-buffered ~35M of
+    g+offset+mask and blew the 96M scope at the big DLA shape)."""
+    idx = starts[:, None] + jnp.arange(rows)[None, :]
+    return a[idx]
+
+
+def _dx_kernel(gp_ref, off_ref, mask_ref, wT_ref, dx_ref,
+               u_ref, dyE_ref, dxE_ref, acc_ref, *,
+               W, C, Cout, P, tile_h, R, G):
+    """d_x for one row-tile: all-read halo formulation (see module doc).
+
+    Input row p receives the single contribution z_{k,s}[q] per (tap k,
+    shift s) at q = p - (tap_k - 1) - s.  u_k = (g W_k^T) * mask and the
+    expanded offsets are staged ONCE per tap into halo-wide scratches;
+    every term then reads tile-sized slices at row start 2R+3 - ty - sy
+    (dynamic only in the fori index — a supported ref sublane start) and
+    evaluates the tri weights on those slices.  An earlier version
+    materialised a halo-wide product plane per term: 324 x 5.6M VMEM
+    writes per tile, 2.3x slower than the XLA VJP."""
+    rows = tile_h + 2 * R + 4
+    Wp = W + 2 * G
+    CP = P * C
+    CoP = P * Cout
+    S = 2 * R + 2
+
+    g_halo = gp_ref[0]                             # (rows, Wp, CoP)
+    offs = off_ref[0]                              # (rows, Wp, 18P) f32
+    masks = mask_ref[0]                            # (rows, Wp, 9P) f32
+
+    acc_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+    for k in range(9):
+        ty, tx = k // 3, k % 3
+        # u_k = (g @ W_k^T) * mask over the whole halo
+        gW = jax.lax.dot_general(
+            g_halo.reshape(rows * Wp, CoP), wT_ref[k * CoP:(k + 1) * CoP, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(rows, Wp, CP)
+        mkE = _fwd._lane_expand(masks[:, :, k * P:(k + 1) * P], C)
+        u_ref[:] = gW * mkE
+        dyE_ref[:] = _fwd._lane_expand(
+            jnp.clip(offs[:, :, 2 * k * P:(2 * k + 1) * P], -R, R), C)
+        dxE_ref[:] = _fwd._lane_expand(
+            jnp.clip(offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P], -R, R), C)
+
+        def sy_body(i, carry, ty=ty, tx=tx):
+            ro = 2 * R + 3 - ty - i
+            syf = i.astype(jnp.float32) - R
+            wyS = jnp.maximum(
+                0.0, 1.0 - jnp.abs(dyE_ref[pl.ds(ro, tile_h)] - syf))
+            vy = wyS * u_ref[pl.ds(ro, tile_h)]         # (tile_h, Wp, CP)
+            dxS = dxE_ref[pl.ds(ro, tile_h)]
+            for sx in range(-R, R + 2):
+                cx = G + 1 - tx - sx
+                wxS = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dxS[:, cx:cx + W, :] - sx))
+                acc_ref[:] = acc_ref[:] + vy[:, cx:cx + W, :] * wxS
+            return carry
+
+        jax.lax.fori_loop(0, S, sy_body, 0)
+    dx_ref[0] = acc_ref[:].astype(dx_ref.dtype)
+
+
+def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
+                   doff_ref, dmask_ref, dw_ref,
+                   x32_ref, gw_ref, acc_ref, ady_ref, adx_ref, *,
+                   W, C, Cout, P, tile_h, R, PAD):
+    """d_offset / d_mask / d_weight for one row-tile: forward column
+    recompute with tri' accumulators (col2im_coord analogue)."""
+    t = pl.program_id(1)
+    CP = P * C
+    CoP = P * Cout
+    S = 2 * R + 2
+
+    x32_ref[:] = x_ref[0].astype(jnp.float32)      # windowed x block
+    g_tile = g_ref[0]                              # (tile_h, W, CoP)
+    offs = off_ref[0]
+    masks = mask_ref[0]
+
+    for k in range(9):
+        ty, tx = k // 3, k % 3
+        gw_ref[:] = jax.lax.dot_general(
+            g_tile.reshape(tile_h * W, CoP),
+            wT_ref[k * CoP:(k + 1) * CoP, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tile_h, W, CP)
+
+        dy_raw = offs[:, :, 2 * k * P:(2 * k + 1) * P]
+        dx_raw = offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P]
+        dy = jnp.clip(dy_raw, -R, R)
+        dx = jnp.clip(dx_raw, -R, R)
+        dyE = _fwd._lane_expand(dy, C)
+        dxE = _fwd._lane_expand(dx, C)
+        mkE = _fwd._lane_expand(masks[:, :, k * P:(k + 1) * P], C)
+
+        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dxE - s)) for s in
+              range(-R, R + 2)]
+        # d tri(t)/dt = -sign(t) on the open unit support (matches the
+        # XLA VJP of max(0, 1-|t|) up to measure-zero ties)
+        wxp = [jnp.where(jnp.abs(dxE - s) < 1.0, -jnp.sign(dxE - s), 0.0)
+               for s in range(-R, R + 2)]
+
+        acc_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+        ady_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+        adx_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+
+        def row_body(i, carry, ty=ty, tx=tx, dyE=dyE):
+            xs = x32_ref[pl.ds(ty + i, tile_h)]
+            syf = i.astype(jnp.float32) - R
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyE - syf))
+            wyp = jnp.where(jnp.abs(dyE - syf) < 1.0,
+                            -jnp.sign(dyE - syf), 0.0)
+            la, ly, lx = acc_ref[:], ady_ref[:], adx_ref[:]
+            for ix, sx in enumerate(range(-R, R + 2)):
+                cxs = PAD - 1 + tx + sx
+                xsw = xs[:, cxs:cxs + W, :]
+                la = la + xsw * (wy * wx[ix])
+                ly = ly + xsw * (wyp * wx[ix])
+                lx = lx + xsw * (wy * wxp[ix])
+            acc_ref[:], ady_ref[:], adx_ref[:] = la, ly, lx
+            return carry
+
+        jax.lax.fori_loop(0, S, row_body, 0)
+
+        gm = gw_ref[:]
+        dmask = _lane_reduce((acc_ref[:] * gm).reshape(tile_h * W, CP), P)
+        gmm = gm * mkE
+        ddy = _lane_reduce((ady_ref[:] * gmm).reshape(tile_h * W, CP), P)
+        ddx = _lane_reduce((adx_ref[:] * gmm).reshape(tile_h * W, CP), P)
+        # clip rule: zero gradient where the raw offset left [-R, R]
+        ddy = ddy.reshape(tile_h, W, P) * \
+            (jnp.abs(dy_raw) <= R).astype(jnp.float32)
+        ddx = ddx.reshape(tile_h, W, P) * \
+            (jnp.abs(dx_raw) <= R).astype(jnp.float32)
+        dmask_ref[0, :, :, k * P:(k + 1) * P] = dmask.reshape(tile_h, W, P)
+        doff_ref[0, :, :, 2 * k * P:(2 * k + 1) * P] = ddy
+        doff_ref[0, :, :, (2 * k + 1) * P:(2 * k + 2) * P] = ddx
+
+        # d_weight: accumulate (cols * mask)^T @ g across tiles
+        dwk = jax.lax.dot_general(
+            (acc_ref[:] * mkE).reshape(tile_h * W, CP),
+            g_tile.reshape(tile_h * W, CoP),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(t == 0)
+        def _init(k=k, dwk=dwk):
+            dw_ref[k] = dwk
+
+        @pl.when(t != 0)
+        def _acc(k=k, dwk=dwk):
+            dw_ref[k] = dw_ref[k] + dwk
+
+
+def _pick_tile_bwd(H: int, W: int, CP: int, R: int, halo: int,
+                   n_temps: int) -> int:
+    per_row = (W + 2 * (R + 2)) * CP * 4
+    budget = _fwd._VMEM_LIMIT // 2
+    for t in (8, 6, 4, 3, 2, 1):
+        if H % t == 0 and \
+                (t + halo) * per_row * n_temps <= budget:
+            return t
+    return 1
+
+
+def dcn_packed_backward(x, offset18, mask, weight, g, radius: int):
+    """Pallas backward for the batch-packed configuration.
+
+    Returns (d_x, d_offset18, d_mask, d_weight, d_bias) matching
+    jax.vjp of deform_conv2d_windowed."""
+    B, H, W, C = x.shape
+    Cout = weight.shape[-1]
+    R = radius
+    PAD = 1 + R + 1
+    G = R + 2
+    CP = B * C
+    CoP = B * Cout
+    itemsize = jnp.dtype(x.dtype).itemsize
+
+    # shared packed operands (same layout as the forward)
+    xP = x.transpose(1, 2, 3, 0).reshape(1, H, W, CP)
+    gP = g.transpose(1, 2, 3, 0).reshape(1, H, W, CoP)
+    offP = offset18.transpose(1, 2, 3, 0).reshape(1, H, W, 18 * B)
+    maskP = mask.transpose(1, 2, 3, 0).reshape(1, H, W, 9 * B)
+    wfull = weight.reshape(9, C, Cout).astype(jnp.float32)
+    eyeB = jnp.eye(B, dtype=jnp.float32)
+    # rows (cout, b) = g lanes, cols (cin, b) = x lanes, per tap
+    wT = jnp.einsum("kco,bd->kobcd", wfull, eyeB).reshape(9 * CoP, CP)
+
+    # ---------------------------------------------------------------- d_x
+    tile_dx = _pick_tile_bwd(H, W, CP, R, 2 * R + 4, 8)
+    Wp = W + 2 * G
+    rows = tile_dx + 2 * R + 4
+    T = H // tile_dx
+    starts = jnp.arange(T) * tile_dx
+    # overlapping halo windows of g / offsets / mask, one per row-tile
+    gwin = _windows(jnp.pad(gP, ((0, 0), (G, G), (G, G), (0, 0)))[0],
+                    starts, rows)
+    owin = _windows(jnp.pad(offP, ((0, 0), (G, G), (G, G), (0, 0)))[0],
+                    starts, rows)
+    mwin = _windows(jnp.pad(maskP, ((0, 0), (G, G), (G, G), (0, 0)))[0],
+                    starts, rows)
+    vmem_dx = _fwd._vmem_request(
+        2 * rows * Wp * (CoP * itemsize + 18 * B * 4 + 9 * B * 4)
+        + 9 * CoP * CP * 4 + 2 * tile_dx * W * CP * itemsize
+        + rows * Wp * CP * 4 * 6 + tile_dx * W * CP * 4 * 2)
+    kern = functools.partial(_dx_kernel, W=W, C=C, Cout=Cout, P=B,
+                             tile_h=tile_dx, R=R, G=G)
+    dxP = pl.pallas_call(
+        kern,
+        grid=(1, T),
+        in_specs=[
+            pl.BlockSpec((1, rows, Wp, CoP), lambda b, t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, Wp, 18 * B), lambda b, t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, Wp, 9 * B), lambda b, t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * CoP, CP), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_dx, W, CP),
+                               lambda b, t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, H, W, CP), x.dtype),
+        scratch_shapes=[pltpu.VMEM((rows, Wp, CP), jnp.float32),
+                        pltpu.VMEM((rows, Wp, CP), jnp.float32),
+                        pltpu.VMEM((rows, Wp, CP), jnp.float32),
+                        pltpu.VMEM((tile_dx, W, CP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_dx),
+        cost_estimate=pl.CostEstimate(
+            flops=B * H * W * 9 * (2 * R + 2) ** 2 * C * 3 +
+            2 * 9 * H * W * CoP * CP,
+            bytes_accessed=T * rows * Wp * CoP * itemsize,
+            transcendentals=0),
+    )(gwin, owin, mwin, wT)
+    d_x = dxP.reshape(H, W, C, B).transpose(3, 0, 1, 2)
+
+    # ----------------------------------------------- d_offset/mask/weight
+    tile_dc = _pick_tile_bwd(H, W, CP, R, 2 * R + 3, 9)
+    Wx = W + 2 * PAD
+    win_rows = tile_dc + 2 * R + 3
+    Tc = H // tile_dc
+    # x windows: tile t needs padded rows [t*tile + PAD-1-R, + win_rows)
+    xwin = _windows(jnp.pad(xP, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))[0],
+                    jnp.arange(Tc) * tile_dc + PAD - 1 - R, win_rows)
+    vmem_dc = _fwd._vmem_request(
+        2 * win_rows * Wx * CP * itemsize + 9 * CoP * CP * 4
+        + 9 * CP * CoP * 4 + 9 * CP * CoP * 4
+        + 2 * tile_dc * W * (CoP * itemsize + 27 * B * 4 + 27 * B * 4)
+        + win_rows * Wx * CP * 4 + tile_dc * W * CP * 4 * 18)
+    kern2 = functools.partial(_dcoord_kernel, W=W, C=C, Cout=Cout, P=B,
+                              tile_h=tile_dc, R=R, PAD=PAD)
+    doffP, dmaskP, dwBig = pl.pallas_call(
+        kern2,
+        grid=(1, Tc),
+        in_specs=[
+            pl.BlockSpec((1, win_rows, Wx, CP), lambda b, t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_dc, W, CoP), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_dc, W, 18 * B), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_dc, W, 9 * B), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * CoP, CP), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * CP, CoP), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_dc, W, 18 * B), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_dc, W, 9 * B), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, CP, CoP), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, H, W, 18 * B), jnp.float32),
+            jax.ShapeDtypeStruct((1, H, W, 9 * B), jnp.float32),
+            jax.ShapeDtypeStruct((9, CP, CoP), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((win_rows, Wx, CP), jnp.float32),
+                        pltpu.VMEM((tile_dc, W, CP), jnp.float32),
+                        pltpu.VMEM((tile_dc, W, CP), jnp.float32),
+                        pltpu.VMEM((tile_dc, W, CP), jnp.float32),
+                        pltpu.VMEM((tile_dc, W, CP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_dc),
+        cost_estimate=pl.CostEstimate(
+            flops=B * H * W * 9 * (2 * R + 2) ** 2 * C * 6 +
+            4 * 9 * H * W * CoP * CP,
+            bytes_accessed=Tc * win_rows * Wx * CP * itemsize,
+            transcendentals=0),
+    )(xwin, gP, offP, maskP, wT,
+      jnp.einsum("kco,bd->kcbod", wfull, eyeB).reshape(9 * CP, CoP))
+
+    d_offset18 = doffP.reshape(H, W, 18, B).transpose(3, 0, 1, 2
+                                                      ).reshape(B, H, W, 18)
+    d_mask = dmaskP.reshape(H, W, 9, B).transpose(3, 0, 1, 2)
+    # extract the block-diagonal (b == d) entries of dwBig and sum over b:
+    # row lane (c, b) c-major = c*B + b, col lane (o, d) = o*B + d
+    dwFull = dwBig.reshape(9, C, B, Cout, B)
+    d_weight = jnp.einsum("kcbob->kco", dwFull).reshape(3, 3, C, Cout)
+    d_bias = g.astype(jnp.float32).sum(axis=(0, 1, 2))
+    return (d_x, d_offset18, d_mask,
+            d_weight.astype(weight.dtype), d_bias)

@@ -285,3 +285,39 @@ def test_pallas_packed_matches_unpacked():
                     x, offset, mask, w, b))
     np.testing.assert_allclose(outs[True], outs[False],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_packed_backward_matches_xla_vjp():
+    """The fused Mosaic backward (col2im / col2im_coord analogues) equals
+    jax.vjp of the XLA windowed decomposition for every cotangent,
+    including the clamp rule (zero offset-gradient outside [-R, R])."""
+    from side_tpu.ops import dcn_pallas as DP
+    from side_tpu.ops.dcn_pallas_bwd import dcn_packed_backward
+    from side_tpu.ops.deform_conv import deform_conv2d_windowed
+    import unittest.mock as um
+    rng = np.random.RandomState(15)
+    B, H, W, Cin, Cout = 4, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    # include out-of-window offsets to exercise the clip-gradient rule
+    offset = jnp.asarray(rng.uniform(-2.5, 2.5, (B, H, W, 9, 2)),
+                         jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+    g = jnp.asarray(rng.randn(B, H, W, Cout), jnp.float32)
+    offset18 = offset.reshape(B, H, W, 18)
+
+    def f(x, o18, m, w, b):
+        return deform_conv2d_windowed(x, o18.reshape(B, H, W, 9, 2), m, w,
+                                      b, radius=2)
+    _, vjp = jax.vjp(f, x, offset18, mask, w, b)
+    ref = vjp(g)
+
+    with um.patch("side_tpu.ops.dcn_pallas_bwd.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        got = dcn_packed_backward(x, offset18, mask, w, g, 2)
+
+    names = ["d_x", "d_offset", "d_mask", "d_weight", "d_bias"]
+    for name, a, r in zip(names, got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

@@ -61,7 +61,7 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
     convert_split(base, "3dop", "val",
                   os.path.join(base, "annotations_3d", "kitti_3dop_val.json"))
 
-    cfg = Config(data_dir=data_dir, save_dir=save_dir,
+    cfg = Config(data_dir=data_dir, exp_dir=save_dir,
                  input_h=input_hw[0], input_w=input_hw[1],
                  batch_size=2, lr=lr, lr_step=(10 ** 9,),
                  num_epochs=epochs, max_objs=16, K=16,
@@ -131,6 +131,9 @@ def test_fixture_overfit_ap(tmp_path):
 if __name__ == "__main__":
     import tempfile
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    # honour JAX_PLATFORMS (sitecustomize pre-imports jax on the TPU relay)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     tmp = tempfile.mkdtemp(prefix="overfit_ap_")
     epochs = int(os.environ.get("OVERFIT_EPOCHS", "160"))
     align = os.environ.get("OVERFIT_ALIGN", "1") == "1"

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--shapes", default="big,mid,mid2,small,tiny")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--mode", default="pallas")
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd (value_and_grad wrt x/offset/mask/w)")
     args = ap.parse_args()
 
     import jax
@@ -62,10 +64,20 @@ def main():
               "windowed": deform_conv2d_windowed,
               "exact": deform_conv._deform_conv2d_gather}[args.mode]
 
-        @jax.jit
-        def step(x, carry, offset=offset, mask=mask, w=w, b=b, fn=fn):
-            y = fn(x + carry, offset, mask, w, b)
-            return (y.astype(jnp.float32).mean() * 1e-6).astype(x.dtype)
+        if args.grad:
+            @jax.jit
+            def step(x, carry, offset=offset, mask=mask, w=w, b=b, fn=fn):
+                def loss(x_, o_, m_, w_):
+                    return fn(x_, o_, m_, w_, b).astype(jnp.float32).mean()
+                val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                    x + carry, offset, mask, w)
+                extra = sum(g.astype(jnp.float32).sum() for g in grads)
+                return ((val + extra * 1e-9) * 1e-6).astype(x.dtype)
+        else:
+            @jax.jit
+            def step(x, carry, offset=offset, mask=mask, w=w, b=b, fn=fn):
+                y = fn(x + carry, offset, mask, w, b)
+                return (y.astype(jnp.float32).mean() * 1e-6).astype(x.dtype)
 
         t0 = time.time()
         carry = step(x, jnp.zeros((), x.dtype))

@@ -109,7 +109,8 @@ def main():
         print(f"[parity] overall: {'OK' if ok else 'FAIL'}", flush=True)
 
     if not args.skip_timing:
-        deform_conv._DCN_MODE = "pallas"
+        mode = deform_conv._resolve_mode()
+        print(f"[timing] DCN mode: {mode}", flush=True)
 
         def net_dec(v, b):
             out = model.apply(v, b, use_cost_volume=True, target=None,
@@ -141,7 +142,7 @@ def main():
         ts = min(t(c_s) for _ in range(2))
         tb = min(t(c_b) for _ in range(2))
         per = (tb - ts) / (n_big - n_small)
-        print(f"[timing] pallas full model: {per*1e3:.2f} ms/iter "
+        print(f"[timing] {mode} full model: {per*1e3:.2f} ms/iter "
               f"({B/per:.2f} pairs/s)  ts={ts:.3f} tb={tb:.3f}", flush=True)
 
 
