@@ -442,7 +442,9 @@ def _dcn_fwd(x, offset18, mask, weight, bias, radius):
 # kernels for the batch-packed layers (~85% of the DCN work; the XLA VJP
 # left the train step backward-bound), "xla" = autodiff of the windowed
 # decomposition for everything else
-_BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "pallas")
+# opt-in until its Mosaic compile time is fixed (did not finish in 30
+# min at the big DLA shape; numerics are parity-tested in interpret mode)
+_BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "xla")
 
 
 def _dcn_bwd(radius, res, g):
