@@ -223,11 +223,14 @@ def _pick_tile_bwd(H: int, W: int, CP: int, R: int, halo: int,
     return 1
 
 
-def dcn_packed_backward(x, offset18, mask, weight, g, radius: int):
+def dcn_packed_backward(x, offset18, mask, weight, g, radius: int,
+                        parts=("dx", "dcoord")):
     """Pallas backward for the batch-packed configuration.
 
     Returns (d_x, d_offset18, d_mask, d_weight, d_bias) matching
-    jax.vjp of deform_conv2d_windowed."""
+    jax.vjp of deform_conv2d_windowed.  `parts` restricts which kernels
+    run (compile/runtime bisection via tools/dcn_bwd_bench.py); skipped
+    cotangents come back as None."""
     B, H, W, C = x.shape
     Cout = weight.shape[-1]
     R = radius
@@ -248,6 +251,24 @@ def dcn_packed_backward(x, offset18, mask, weight, g, radius: int):
     wT = jnp.einsum("kco,bd->kobcd", wfull, eyeB).reshape(9 * CoP, CP)
 
     # ---------------------------------------------------------------- d_x
+    d_x = None
+    if "dx" in parts:
+        d_x = _run_dx(x, gP, offP, maskP, wT, B, H, W, C, Cout, R, G,
+                      itemsize)
+
+    # ----------------------------------------------- d_offset/mask/weight
+    if "dcoord" not in parts:
+        return (d_x, None, None, None, None)
+    d_offset18, d_mask, d_weight = _run_dcoord(
+        x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout, R, PAD,
+        itemsize)
+    d_bias = g.astype(jnp.float32).sum(axis=(0, 1, 2))
+    return (d_x, d_offset18, d_mask, d_weight.astype(weight.dtype), d_bias)
+
+
+def _run_dx(x, gP, offP, maskP, wT, B, H, W, C, Cout, R, G, itemsize):
+    CP = B * C
+    CoP = B * Cout
     tile_dx = _pick_tile_bwd(H, W, CP, R, 2 * R + 4, 8)
     Wp = W + 2 * G
     rows = tile_dx + 2 * R + 4
@@ -296,9 +317,13 @@ def dcn_packed_backward(x, offset18, mask, weight, g, radius: int):
             bytes_accessed=T * rows * Wp * CoP * itemsize,
             transcendentals=0),
     )(gwin, owin, mwin, wT)
-    d_x = dxP.reshape(H, W, C, B).transpose(3, 0, 1, 2)
+    return dxP.reshape(H, W, C, B).transpose(3, 0, 1, 2)
 
-    # ----------------------------------------------- d_offset/mask/weight
+
+def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout,
+                R, PAD, itemsize):
+    CP = B * C
+    CoP = B * Cout
     tile_dc = _pick_tile_bwd(H, W, CP, R, 2 * R + 3, 9)
     Wx = W + 2 * PAD
     win_rows = tile_dc + 2 * R + 3
@@ -366,6 +391,4 @@ def dcn_packed_backward(x, offset18, mask, weight, g, radius: int):
     # row lane (c, b) c-major = c*B + b, col lane (o, d) = o*B + d
     dwFull = dwBig.reshape(9, C, B, Cout, B)
     d_weight = jnp.einsum("kcbob->kco", dwFull).reshape(3, 3, C, Cout)
-    d_bias = g.astype(jnp.float32).sum(axis=(0, 1, 2))
-    return (d_x, d_offset18, d_mask,
-            d_weight.astype(weight.dtype), d_bias)
+    return d_offset18, d_mask, d_weight

@@ -124,7 +124,20 @@ def build_consts(im_shape, calib_p2, bl, alpha, dim_whl, box_left, box_right,
     kpt_pos, kpt_type = kpts[:, 2], kpts[:, 3]
 
     truncated = (ul < 2 * tb) | (ur > w_max - 2 * tb)
-    alpha_eff = jnp.where(truncated, alpha,
+    # Degenerate keypoint label: objects with NO visible perspective
+    # keypoint (e.g. near-frontal/rear cars whose middle corner lands on a
+    # silhouette edge) are trained to (type 0, cell 0) — the reference's
+    # computeKeptLabel clamps the all-invisible case to zero
+    # (stereoTrainer.py:85-94).  kpt_to_alpha would misread that as
+    # alpha ~ -90deg and pick the wrong vertex table, sending the solve to
+    # a basin ~pi/2 away (caught by the fixture-overfit AP test).  Treat it
+    # like truncation: drop the keypoint residual, trust the regressed
+    # alpha.
+    width_l = jnp.maximum(ur - ul, 1e-6)
+    kpt_cell = (kpt_pos - ul) / width_l
+    degenerate = (kpt_type.astype(jnp.int32) == 0) & (kpt_cell < 0.02)
+    no_kpt = truncated | degenerate
+    alpha_eff = jnp.where(no_kpt, alpha,
                           kpt_to_alpha(kpt_pos, kpt_type, box_left))
     vp = viewpoint_from_alpha(alpha_eff)
 
@@ -132,8 +145,8 @@ def build_consts(im_shape, calib_p2, bl, alpha, dim_whl, box_left, box_right,
     kt = jnp.clip(kpt_type.astype(jnp.int32), 0, 3)
 
     ones = jnp.ones_like(ul)
-    m_uk = jnp.where(truncated, 0.0, ones)       # keypoint only if visible
-    m_alpha = jnp.where(truncated, ones, 0.0)    # alpha only if truncated
+    m_uk = jnp.where(no_kpt, 0.0, ones)          # keypoint only if visible
+    m_alpha = jnp.where(no_kpt, ones, 0.0)       # alpha when kpt unusable
     m_right = m_alpha if use_right else jnp.zeros_like(ones)
 
     return SolveConsts(

@@ -23,10 +23,15 @@ from side_tpu.postprocess.post_process import (cells_to_pixels, process_frame,
                                                unwarp_boxes)
 
 CARS = [
-    # x, y, z, ry
+    # x, y, z, ry — includes near-zero ry poses whose perspective keypoint
+    # is degenerate (all corners silhouette/occluded -> label (0, 0)): the
+    # solver once misread those as alpha ~ -90deg and returned theta off by
+    # pi/2 (caught by the fixture-overfit AP run; see box_solver.build_consts)
     (1.5, 1.65, 14.0, 0.4),
     (-3.0, 1.65, 25.0, 2.0),
     (4.0, 1.65, 30.0, -1.2),
+    (2.07, 1.65, 20.27, 0.18),
+    (-1.0, 1.65, 22.0, -0.05),
 ]
 DIM_HWL = (1.53, 1.63, 3.88)
 
@@ -79,16 +84,25 @@ def _make_decode_outputs(cfg, cars, depth_fn=lambda z: z, score=0.9):
         alpha = ry - np.arctan2(x, z)
         alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
 
-        # perspective keypoint: inner bottom corner in front of the center
-        us = pts_l[:4, 0]
-        order = np.argsort(us)
-        inner = [k for k in range(4) if k not in (order[0], order[-1])
-                 and corners[k, 2] <= z]
-        kpt_type = inner[0] if inner else 0
-        kpt_u = us[kpt_type]
-
+        # perspective keypoint via the PRODUCTION label pipeline
+        # (read_objects marks silhouette/self-occluded corners invisible;
+        # all-invisible collapses to the degenerate (type 0, cell 0) label,
+        # exactly as the reference's computeKeptLabel clamps it)
+        from side_tpu.data.kitti import KITTI_CATS, read_objects
+        ann = {"category_id": KITTI_CATS.index("Car") + 1,
+               "dim": [h, w, l], "location": [x, y, z], "rotation_y": ry,
+               "alpha": float(alpha), "truncated": 0.0, "occluded": 0,
+               "bbox": box_l.tolist()}
+        obj = read_objects([ann], meta["calib"], ["Car"])[0]
+        kps = obj.boxes[0].keypoints
+        vis = [k for k in range(4) if kps[k] >= 0]
         width = box_l[2] - box_l[0]
-        kept_cell = (kpt_u - box_l[0]) * cfg.grid / width
+        if vis:
+            kpt_type = vis[int(np.argmax([kps[k] for k in vis]))]
+            kept_cell = np.round(
+                (kps[kpt_type] - box_l[0]) * cfg.grid / width)
+        else:
+            kpt_type, kept_cell = 0, 0.0
         info[i] = [h, w, l, np.sin(alpha), np.cos(alpha),
                    0.0, cfg.grid, kept_cell, kpt_type, depth_fn(z)]
     return dets, dets_r, info, meta

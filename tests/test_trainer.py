@@ -21,11 +21,21 @@ def _cfg(**kw):
     return Config(**base)
 
 
+_MODEL_CACHE = {}
+
+
 def _model_and_vars(cfg):
-    model = StereoNet(heads=dict(cfg.heads), roi_size=4, max_objs=K,
-                      topk=4, down_ratio=4, input_w=W, dtype=jnp.float32)
-    variables = init_stereo_net(model, jax.random.PRNGKey(0), H, W, K)
-    return model, variables
+    """Model + fresh copy of init variables, cached per head spec: the
+    full-model init dominates this file's runtime on CPU (~25 s each)."""
+    key = tuple(sorted(dict(cfg.heads).items()))
+    if key not in _MODEL_CACHE:
+        model = StereoNet(heads=dict(cfg.heads), roi_size=4, max_objs=K,
+                          topk=4, down_ratio=4, input_w=W,
+                          dtype=jnp.float32)
+        variables = init_stereo_net(model, jax.random.PRNGKey(0), H, W, K)
+        _MODEL_CACHE[key] = (model, variables)
+    model, variables = _MODEL_CACHE[key]
+    return model, jax.tree_util.tree_map(jnp.copy, variables)
 
 
 def _fake_batch(rng, B=8):

@@ -9,10 +9,13 @@ Falls back to printing only wall-clock if the device trace is empty
 
 import argparse
 import glob
-import gzip
 import os
 import sys
 import time
+
+# tensorboard_plugin_profile's protos predate the C++ descriptor pool
+# check; the pure-python implementation accepts them
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
