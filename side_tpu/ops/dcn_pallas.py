@@ -72,7 +72,9 @@ def _vmem_request(need_bytes: int) -> int:
     co-scheduled buffers of stack space and OOMs the 128M chip VMEM on
     programs whose kernels only need a fraction of it (seen with the B=1
     f32 eval layers)."""
-    return max(32 << 20, min(_VMEM_LIMIT, int(need_bytes * 1.4)))
+    # 1.7x margin: Mosaic's actual stack exceeded a 1.4x margin by 1.6M
+    # at the batch-1 eval shape
+    return max(32 << 20, min(_VMEM_LIMIT, int(need_bytes * 1.7)))
 
 
 def _pick_tile_h(H: int, W: int, C: int, R: int) -> int:
