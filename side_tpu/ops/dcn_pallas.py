@@ -266,21 +266,34 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
     out_ref[0] = out.reshape(tile_h, W, P * Cout).astype(out_ref.dtype)
 
 
-def _pick_tile_h_packed(H: int, W: int, CP: int, R: int,
-                        itemsize: int) -> int:
-    """Packed tiles carry 11 full-size f32 temps (wx list + expanded
-    offsets/mask + acc + wyi) on top of the scratches; budget accordingly.
-    (Empirically calibrated: tile 8 at the big DLA shape fits with the
-    matmul expansion and is 14% faster than the tile 4 a stricter budget
-    forces.)"""
-    per_row_scr = (W + 2 * (R + 2)) * CP * 4
-    per_row_tmp = W * CP * 4 * 11 + W * 9 * CP * itemsize
-    budget = _VMEM_LIMIT // 2
+def _packed_need(H, W, CP, B, Cout, R, PAD, itemsize, tile_h):
+    """Estimated VMEM bytes of the packed kernel at a given tile: block and
+    scratch sizes are EXACT; Mosaic's register/temp stack is estimated and
+    margined 2x.  The SAME formula drives tile selection and the
+    vmem_limit request, so the two can never disagree at the clamp
+    (batch-4 OOM'd by <1M when they did)."""
+    win_rows = tile_h + 2 * R + 3
+    exact = (2 * (H + 2 * PAD) * (W + 2 * PAD) * CP * itemsize  # x block x2
+             + 9 * CP * B * Cout * 4 + B * Cout * 4             # weights
+             + 2 * tile_h * W * 27 * B * 4                      # off+mask x2
+             + 2 * tile_h * W * B * Cout * itemsize             # out x2
+             + win_rows * (W + 2 * PAD) * CP * 4                # win scratch
+             + tile_h * W * 9 * CP * itemsize                   # cols
+             + tile_h * W * CP * 4)                             # acc scratch
+    temps = 4 * tile_h * W * CP * 4             # expanded off/mask + wy/wx
+    return exact + 2 * temps
+
+
+def _pick_tile_h_packed(H, W, CP, B, Cout, R, PAD, itemsize):
+    """Largest tile whose margined need fits the scoped-VMEM ceiling;
+    None if even tile 1 does not (caller falls back to the unpacked
+    kernel, which has no giant resident packed image)."""
     for t in (16, 12, 8, 6, 4, 3, 2, 1):
         if H % t == 0 and \
-                (t + 2 * R + 3) * per_row_scr + t * per_row_tmp <= budget:
+                _packed_need(H, W, CP, B, Cout, R, PAD, itemsize, t) \
+                <= int(_VMEM_LIMIT * 0.92):   # 8% headroom at the ceiling
             return t
-    return 1
+    return None
 
 
 def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
@@ -289,7 +302,10 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
     R = radius
     PAD = 1 + R + 1
     CP = B * C
-    tile_h = _pick_tile_h_packed(H, W, CP, R, jnp.dtype(x.dtype).itemsize)
+    itemsize_ = jnp.dtype(x.dtype).itemsize
+    tile_h = _pick_tile_h_packed(H, W, CP, B, Cout, R, PAD, itemsize_)
+    if tile_h is None:
+        return None     # no tile fits VMEM; caller uses the unpacked path
 
     # batch -> lanes, c-major (lane = c*B + b) so _lane_expand is a tile
     xP = x.transpose(1, 2, 3, 0).reshape(1, H, W, CP)
@@ -313,15 +329,9 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
                              P=B, tile_h=tile_h, R=R, PAD=PAD)
     grid = (1, H // tile_h)
     win_rows = tile_h + 2 * R + 3
-    itemsize = jnp.dtype(x.dtype).itemsize
-    vmem_req = _vmem_request(
-        2 * (H + 2 * PAD) * (W + 2 * PAD) * CP * itemsize     # x block x2
-        + 9 * CP * B * Cout * 4 + B * Cout * 4                # weights
-        + 2 * tile_h * W * 27 * B * 4                         # off+mask x2
-        + 2 * tile_h * W * B * Cout * itemsize                # out x2
-        + win_rows * (W + 2 * PAD) * CP * 4                   # win scratch
-        + tile_h * W * 9 * CP * itemsize                      # cols
-        + 5 * tile_h * W * CP * 4)                            # acc + temps
+    # _packed_need already carries its own margin; clamp to the ceiling
+    vmem_req = max(32 << 20, min(_VMEM_LIMIT, _packed_need(
+        H, W, CP, B, Cout, R, PAD, itemsize_, tile_h)))
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -359,8 +369,10 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
 def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
     B, H, W, C = x.shape
     if _PACK and B > 1 and C <= 128 and B * C <= 1024:
-        return _pallas_forward_packed(x, offset18, mask, weight, bias,
-                                      radius)
+        packed = _pallas_forward_packed(x, offset18, mask, weight, bias,
+                                        radius)
+        if packed is not None:
+            return packed
     Cout = weight.shape[-1]
     R = radius
     PAD = 1 + R + 1
@@ -452,7 +464,7 @@ _BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "xla")
 def _dcn_bwd(radius, res, g):
     x, offset18, mask, weight, bias = res
     B, H, W, C = x.shape
-    if _BWD == "pallas" and _PACK and B > 1 and C <= 128 and B * C <= 1024:
+    if _BWD == "pallas" and _PACK and B > 1 and C <= 128 and B * C <= 512:
         from .dcn_pallas_bwd import dcn_packed_backward
         return dcn_packed_backward(x, offset18, mask, weight, g, radius)
     # fall back to the mathematically identical XLA windowed path

@@ -33,7 +33,10 @@ def _batch(B=1):
     }
 
 
+@pytest.mark.slow
 def test_backbone_output_shape():
+    """Standalone FeatureExtractor init costs ~30s on CPU; the backbone
+    shape is also covered (via the full model) by test_head_shapes."""
     fe = FeatureExtractor(down_ratio=4, dtype=jnp.float32)
     x = jnp.zeros((1, H, W, 3))
     vs = fe.init(jax.random.PRNGKey(0), x)
