@@ -91,6 +91,10 @@ class Config:
     orien_weight: float = 1.0
     kept_weight: float = 1.0
     depth_weight: float = 1.0
+    # auxiliary soft-target CE on the cost-volume depth-bin logits
+    # (TPU-native addition; 0 = exact reference semantics — see
+    # ops/losses.depth_bin_ce for why expectation-only L1 collapses)
+    depth_aux_weight: float = 1.0
     peak_thresh: float = 0.2
     uncert: bool = False
     cost_volume: bool = True
@@ -247,6 +251,7 @@ class Config:
         p.add_argument("--orien_weight", type=float, default=1.0)
         p.add_argument("--kept_weight", type=float, default=1.0)
         p.add_argument("--depth_weight", type=float, default=1.0)
+        p.add_argument("--depth_aux_weight", type=float, default=1.0)
         p.add_argument("--peak_thresh", type=float, default=0.2)
         p.add_argument("--uncert", action="store_true")
         p.add_argument("--not_cost_volume", action="store_true")
@@ -297,6 +302,7 @@ class Config:
             off_weight=a.off_weight, wh_weight=a.wh_weight,
             dim_weight=a.dim_weight, orien_weight=a.orien_weight,
             kept_weight=a.kept_weight, depth_weight=a.depth_weight,
+            depth_aux_weight=a.depth_aux_weight,
             peak_thresh=a.peak_thresh, uncert=a.uncert,
             cost_volume=not a.not_cost_volume, wh_scale=a.wh_scale,
             reg_offset=not a.not_reg_offset, reg_bbox=not a.not_reg_bbox,

@@ -243,4 +243,9 @@ class CostVolumeNet(nn.Module):
 
         # soft-argmin expectation over the metric depth bins (:232-236)
         pred = jax.nn.softmax(logits, axis=1)
-        return jnp.sum(pred * depth_bin, axis=1)              # (N,)
+        # logits are also returned so training can supervise the depth-bin
+        # DISTRIBUTION (ops/losses.depth_bin_ce): pure expectation-L1
+        # supervision is unstable — its gradient pushes mass toward the
+        # extreme bin hardest (p_i*(pred-bin_i) grows with distance), which
+        # collapses the softmax one-hot on small data (round-2 finding).
+        return jnp.sum(pred * depth_bin, axis=1), logits      # (N,), (N, D)

@@ -126,13 +126,17 @@ class StereoNet(nn.Module):
             cost = build_cost_volume(red_left, red_right, rois_l, rois_r,
                                      self.roi_size)
             K = bbox.shape[1]
-            disp = CostVolumeNet(32, dtype=self.dtype,
-                                 name="depth_estimator")(
+            disp, logits = CostVolumeNet(32, dtype=self.dtype,
+                                         name="depth_estimator")(
                 cost, depth_bin.reshape(B * K, self.roi_size), train)
             depth = disp.reshape(B, K, 1)
             # invalid slots report depth 0 (reference zero-fills, :363)
             depth = depth * valid[..., None].astype(depth.dtype)
             out["depth"] = depth
+            # depth-bin distribution for the auxiliary soft-target CE
+            # (training only; see ops/losses.depth_bin_ce)
+            out["depth_logits"] = logits.reshape(B, K, self.roi_size)
+            out["depth_bin"] = depth_bin
 
         return out
 

@@ -27,7 +27,13 @@ from ..ops import decode as dec
 from .dla import BN_EPS, BN_MOMENTUM, FeatureExtractor, conv_init
 from .stereo_net import Head
 
-VOXEL_RES = 10  # 10 bins per axis: z 1 m, x/y 0.5 m (get_voxel :215-218)
+# 10 bins per axis, matching the reference get_voxel exactly:
+# zs = arange(-5, 5, 1.0) + 0.5  -> 10 bins @ 1 m   (stereo_network_new.py:213)
+# xs/ys = arange(-2.5, 2.5, 0.5) + 0.25 -> 10 @ 0.5 m (:161,214-215)
+# (roiSize=20 at :309 only parameterises get_proposal_shift's depth_bin count,
+# whose RoI path is commented out at :396-405; the voxel res the PointNet sees
+# is norm_coord_imgs.shape[1] == 10, :417.)
+VOXEL_RES = 10
 
 
 def _apply_affine(pts: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

@@ -176,12 +176,12 @@ def _lane_expand(v, C: int):
     lanes in C-MAJOR order (lane = c*P + b, matching the packed x layout).
     Strategy via SIDE_TPU_DCN_EXPAND:
 
-    "repeat" (default): concatenate C copies along lanes — with c-major
-    packing the replication IS a block-tile, no arithmetic at all.
-    "matmul": contract against a constant 0/1 matrix at HIGHEST precision
-    (the default TPU f32 matmul rounds through bf16, which would quantise
-    every offset/mask to 8 mantissa bits); costs ~1.2 ms/layer more than
-    repeat at the big DLA shape.
+    "matmul" (default): contract against a constant 0/1 matrix at HIGHEST
+    precision (the default TPU f32 matmul rounds through bf16, which would
+    quantise every offset/mask to 8 mantissa bits).
+    "repeat": concatenate C copies along lanes — no arithmetic, but at
+    tile 8 it overflowed chip VMEM and at tile 4 ran 14% slower than
+    matmul at tile 8, so it lost the default despite being "free".
     "reshape" (broadcast + minor-dim merge) is rejected by this Mosaic
     version ("infer-vector-layout: unsupported shape cast")."""
     th, W, P = v.shape
@@ -465,8 +465,9 @@ def _dcn_bwd(radius, res, g):
     x, offset18, mask, weight, bias = res
     B, H, W, C = x.shape
     if _BWD == "pallas" and _PACK and B > 1 and C <= 128 and B * C <= 512:
-        from .dcn_pallas_bwd import dcn_packed_backward
-        return dcn_packed_backward(x, offset18, mask, weight, g, radius)
+        from .dcn_pallas_bwd import dcn_packed_backward, packed_backward_fits
+        if packed_backward_fits(H, W, B, C, radius):
+            return dcn_packed_backward(x, offset18, mask, weight, g, radius)
     # fall back to the mathematically identical XLA windowed path
     _, vjp = jax.vjp(
         lambda *a: _xla_equivalent(*a, radius), x, offset18, mask, weight,

@@ -213,14 +213,24 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
 
 
 def _pick_tile_bwd(H: int, W: int, CP: int, R: int, halo: int,
-                   n_temps: int) -> int:
+                   n_temps: int):
+    """Largest row-tile whose scratch fits the VMEM budget, or None when
+    even tile 1 does not fit (callers fall back to the XLA windowed VJP
+    rather than hit a Mosaic VMEM failure)."""
     per_row = (W + 2 * (R + 2)) * CP * 4
     budget = _fwd._VMEM_LIMIT // 2
     for t in (8, 6, 4, 3, 2, 1):
         if H % t == 0 and \
                 (t + halo) * per_row * n_temps <= budget:
             return t
-    return 1
+    return None
+
+
+def packed_backward_fits(H: int, W: int, B: int, C: int, R: int) -> bool:
+    """True when both backward kernels have a feasible tile at this shape."""
+    CP = B * C
+    return (_pick_tile_bwd(H, W, CP, R, 2 * R + 4, 8) is not None and
+            _pick_tile_bwd(H, W, CP, R, 2 * R + 3, 9) is not None)
 
 
 def dcn_packed_backward(x, offset18, mask, weight, g, radius: int,

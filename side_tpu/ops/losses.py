@@ -83,9 +83,40 @@ def compute_kept_label(kept: jnp.ndarray, wh: jnp.ndarray,
     return jnp.maximum(merged, 0.0).astype(jnp.int32)
 
 
+def depth_bin_ce(logits: jnp.ndarray, depth_bin: jnp.ndarray,
+                 gt_depth: jnp.ndarray) -> jnp.ndarray:
+    """Soft-target cross-entropy over the cost volume's depth-bin logits.
+
+    DELIBERATE DEVIATION from the reference (which supervises only the
+    soft-argmin expectation with L1, stereo_network_old.py:232-236 +
+    stereoTrainer.py:102-103): expectation-only supervision is unstable —
+    dL1/dlogit_i = sign(err) * p_i * (bin_i - pred) pushes probability mass
+    hardest toward the bin FARTHEST below the prediction, so the softmax
+    collapses one-hot onto the extreme bin and gradients vanish (observed
+    within ~10 steps on small data, round 2).  A gaussian soft target
+    centred on the GT depth anchors the distribution at the right bin.
+    Weight via cfg.depth_aux_weight; 0 restores exact reference semantics.
+
+    logits, depth_bin: (B, K, D); gt_depth: (B, K) (0 = invalid slot).
+    """
+    valid = gt_depth > 0
+    # sigma = one bin spacing per object (bins are uniform in depth)
+    spacing = jnp.maximum(
+        (depth_bin[..., 0] - depth_bin[..., -1]) /
+        jnp.maximum(depth_bin.shape[-1] - 1, 1), 0.5)          # (B, K)
+    d2 = (depth_bin - gt_depth[..., None]) ** 2
+    q = jax.nn.softmax(-d2 / (2.0 * spacing[..., None] ** 2), axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(q * logp, axis=-1)                           # (B, K)
+    n = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, ce, 0.0).sum() / n
+
+
 def stereo_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                 loss_weight: jnp.ndarray, grid: int, uncert: bool,
-                use_cost_volume: bool) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                use_cost_volume: bool,
+                depth_aux_weight: float = 0.0
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total stereo loss (stereoTrainer.py:97-144).
 
     `loss_weight` is the 7-vector [hm, wh, off, depth, dim, orien, kept];
@@ -114,6 +145,11 @@ def stereo_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
     if use_cost_volume:
         depth_loss = jnp.abs(outputs["depth"] - batch["depth"]).mean()
+        if depth_aux_weight > 0 and "depth_logits" in outputs:
+            depth_ce = depth_bin_ce(outputs["depth_logits"],
+                                    outputs["depth_bin"],
+                                    batch["depth"][..., 0])
+            depth_loss = depth_loss + depth_aux_weight * depth_ce
     else:
         depth_loss = jnp.float32(0.0)
 

@@ -106,11 +106,12 @@ class SolveConsts(NamedTuple):
 
 
 def build_consts(im_shape, calib_p2, bl, alpha, dim_whl, box_left, box_right,
-                 kpts, use_right: bool) -> SolveConsts:
+                 kpts, use_right: bool, grid: int = 28) -> SolveConsts:
     """Normalise image observations and pick vertex tables.
 
     dim_whl: (N, 3) as (w, h, l); box_*: (N, 4); kpts: (N, 4) =
-    [border_l_u, border_r_u, kpt_u, kpt_type] in pixels.
+    [border_l_u, border_r_u, kpt_u, kpt_type] in pixels.  `grid` is the
+    kept_type label quantisation (cfg.grid; 28 in the reference).
     """
     f = calib_p2[0, 0]
     cx, cy = calib_p2[0, 2], calib_p2[1, 2]
@@ -133,9 +134,12 @@ def build_consts(im_shape, calib_p2, bl, alpha, dim_whl, box_left, box_right,
     # a basin ~pi/2 away (caught by the fixture-overfit AP test).  Treat it
     # like truncation: drop the keypoint residual, trust the regressed
     # alpha.
+    # expressed in label grid cells so the guard tracks the quantisation:
+    # a (type 0, cell 0) label decodes to cell center 0.5/grid, so anything
+    # that rounds back to cell 0 (< 1/grid) is the degenerate encoding
     width_l = jnp.maximum(ur - ul, 1e-6)
-    kpt_cell = (kpt_pos - ul) / width_l
-    degenerate = (kpt_type.astype(jnp.int32) == 0) & (kpt_cell < 0.02)
+    kpt_cell = (kpt_pos - ul) / width_l * grid
+    degenerate = (kpt_type.astype(jnp.int32) == 0) & (kpt_cell < 1.0)
     no_kpt = truncated | degenerate
     alpha_eff = jnp.where(no_kpt, alpha,
                           kpt_to_alpha(kpt_pos, kpt_type, box_left))

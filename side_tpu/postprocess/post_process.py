@@ -111,7 +111,8 @@ def process_frame(dets: np.ndarray, dets_right: np.ndarray,
                              jnp.asarray(dim_whl, jnp.float32),
                              jnp.asarray(box_left, jnp.float32),
                              jnp.asarray(box_right, jnp.float32),
-                             jnp.asarray(kpts, jnp.float32), use_right=False)
+                             jnp.asarray(kpts, jnp.float32), use_right=False,
+                             grid=cfg.grid)
     states = np.asarray(BS.solve_x_y_theta(consts,
                                            jnp.asarray(depth, jnp.float32)))
     solved_ok = np.isfinite(states).all(axis=1)

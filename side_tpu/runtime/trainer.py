@@ -76,15 +76,23 @@ class Trainer:
         self._val_step = jax.jit(self._make_step(train=False))
 
     # ------------------------------------------------------------------ steps
-    def _loss_fn(self, params, batch_stats, batch, train: bool):
+    def _loss_fn(self, params, batch_stats, batch, train: bool,
+                 step=None):
         cfg = self.cfg
         target = boxes_from_targets(batch["ind_float"], batch["wh"],
                                     batch["reg"], cfg.output_w, cfg.wh_scale)
         variables = {"params": params["model"], "batch_stats": batch_stats}
         if train:
+            # per-step dropout rng (the voxel variant's PointNetDepth uses
+            # nn.Dropout(0.3), pointNet.py:45-82); harmless for dropout-free
+            # models
+            rngs = {"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed),
+                step if step is not None else 0)}
             out, mut = self.model.apply(
                 variables, batch, use_cost_volume=cfg.cost_volume,
-                target=target, train=True, mutable=["batch_stats"])
+                target=target, train=True, mutable=["batch_stats"],
+                rngs=rngs)
             new_bs = mut["batch_stats"]
         else:
             out = self.model.apply(variables, batch,
@@ -93,7 +101,8 @@ class Trainer:
             new_bs = batch_stats
         lw = params.get("loss_weight", jnp.asarray(cfg.loss_weight))
         total, stats = stereo_loss(out, batch, lw, cfg.grid, cfg.uncert,
-                                   cfg.cost_volume)
+                                   cfg.cost_volume,
+                                   depth_aux_weight=cfg.depth_aux_weight)
         return total, (stats, new_bs)
 
     def _make_step(self, train: bool):
@@ -101,7 +110,8 @@ class Trainer:
             def step(state: TrainState, batch):
                 grad_fn = jax.value_and_grad(
                     lambda p: self._loss_fn(p, state.batch_stats, batch,
-                                            True), has_aux=True)
+                                            True, step=state.step),
+                    has_aux=True)
                 (_, (stats, new_bs)), grads = grad_fn(state.params)
                 updates, new_opt = self.tx.update(grads, state.opt_state,
                                                   state.params)

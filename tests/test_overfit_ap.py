@@ -89,6 +89,7 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
     val_ds = StereoKitti(cfg, "val")
     detector = Detector(cfg, variables=trainer.eval_variables)
     results = {}
+    results_raw = {}   # run_align=False: depth is the raw cost-volume z
     for img_id in val_ds.images:
         info = val_ds.coco.images[img_id]
         lp = os.path.join(val_ds.img_dir, info["file_name"])
@@ -96,9 +97,10 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
         ret = detector.run([lp, rp], image_id=img_id, calib=info["calib"],
                            run_align=run_align)
         results[img_id] = ret["results"]
+        raw = (detector.run([lp, rp], image_id=img_id, calib=info["calib"],
+                            run_align=False) if run_align else ret)
+        results_raw[img_id] = raw["results"]
         if verbose and run_align:
-            raw = detector.run([lp, rp], image_id=img_id,
-                               calib=info["calib"], run_align=False)
             for cls in ret["results"]:
                 for ra, rb in zip(np.asarray(ret["results"][cls]),
                                   np.asarray(raw["results"][cls])):
@@ -106,6 +108,9 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
                           f"z_cv={rb[10]:.2f} z_aligned={ra[10]:.2f} "
                           f"ry={ra[11]:+.2f}", flush=True)
     save_kitti_results(results, save_dir, CLASS_NAMES)
+    raw_dir = os.path.join(save_dir, "raw")
+    os.makedirs(raw_dir, exist_ok=True)
+    save_kitti_results(results_raw, raw_dir, CLASS_NAMES)
 
     binary = _build_eval_binary()
     gt_dir = os.path.join(base, "training", "label_2")
@@ -127,26 +132,36 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
     errors = []
     with open(os.path.join(base, "ImageSets_3dop", "val.txt")) as f:
         val_ids = [ln.strip() for ln in f if ln.strip()]
+    def _best_match(g, rows):
+        best, best_iou = None, 0.0
+        for p in rows:
+            iou = _iou2d(g["bbox"], p["bbox"])
+            if iou > best_iou:
+                best, best_iou = p, iou
+        return best, best_iou
+
     for vid in val_ids:
         gt_rows = _read_kitti(os.path.join(gt_dir, f"{vid}.txt"))
         pr_rows = _read_kitti(os.path.join(save_dir, "results", f"{vid}.txt"))
+        raw_rows = _read_kitti(os.path.join(raw_dir, "results", f"{vid}.txt"))
         for g in gt_rows:
-            best, best_iou = None, 0.0
-            for p in pr_rows:
-                iou = _iou2d(g["bbox"], p["bbox"])
-                if iou > best_iou:
-                    best, best_iou = p, iou
+            best, best_iou = _best_match(g, pr_rows)
+            braw, _ = _best_match(g, raw_rows)
+            z_cv = (abs(g["loc"][2] - braw["loc"][2])
+                    if braw is not None else np.inf)
             if best is None:
-                errors.append({"iou": 0.0, "z": np.inf, "ry": np.inf})
+                errors.append({"iou": 0.0, "z": np.inf, "ry": np.inf,
+                               "z_cv": z_cv})
                 continue
             ry_err = abs((g["ry"] - best["ry"] + np.pi) % (2 * np.pi) - np.pi)
             errors.append({"iou": best_iou,
                            "z": abs(g["loc"][2] - best["loc"][2]),
-                           "ry": ry_err})
+                           "ry": ry_err, "z_cv": z_cv})
     if verbose:
         for e in errors:
             print(f"[overfit] obj: iou2d={e['iou']:.3f} "
-                  f"z_err={e['z']:.2f}m ry_err={e['ry']:.3f}rad", flush=True)
+                  f"z_err={e['z']:.2f}m z_cv_err={e['z_cv']:.2f}m "
+                  f"ry_err={e['ry']:.3f}rad", flush=True)
     return aps, errors
 
 
@@ -195,6 +210,13 @@ def test_fixture_overfit_ap(tmp_path):
     assert float(np.median(z_errs)) <= 2.5, errors
     assert max(z_errs) <= 5.0, errors
     assert max(ry_errs) <= 0.4, errors        # pi/2 flips are ~1.57
+    # PRE-ALIGN cost-volume depth must itself have learned (round-2's
+    # soft-argmin collapse put z_cv at the extreme bin, ~10+ m off, and
+    # dense-align rescued it; the depth_bin_ce aux loss fixes the head) —
+    # VERDICT r2 #1.  Calibrated on TPU: see STATUS.md round-3 numbers.
+    z_cv_errs = [e["z_cv"] for e in errors]
+    assert float(np.median(z_cv_errs)) <= 0.5, errors
+    assert max(z_cv_errs) <= 2.0, errors
 
 
 if __name__ == "__main__":

@@ -81,3 +81,58 @@ def test_torch_bn_names():
     assert CW._bn_name("level2.tree1.conv1", "convbn") == "level2.tree1.bn1"
     assert CW._bn_name("level2.project.0", "convbn_proj") == "level2.project.1"
     assert CW._bn_name("level2.root.conv", "convbn_root") == "level2.root.bn"
+
+
+def test_convert_matches_reference_torch_trunk():
+    """REAL converter validation (VERDICT r2 next #7): instantiate the
+    reference DLA-34 trunk on torch CPU
+    (feature_extraction_dla34.py:224-315, DCNv2 import stubbed), randomise
+    its full state dict (weights + BN running stats), convert, and assert
+    level-by-level output agreement torch-vs-flax in eval mode.  This
+    validates conv layout (OIHW->HWIO) and BN eps/stat semantics — SURVEY
+    hard part (d) — against the actual reference module, not a synthetic
+    name list."""
+    import types
+    ref_lib = "/root/reference/src/lib"
+    if ref_lib not in sys.path:
+        sys.path.insert(0, ref_lib)
+    import torch
+
+    # the module does `from .DCNv2.dcn_v2 import DCN` at import time; the
+    # trunk itself (DLA class) never instantiates it
+    dcn_pkg = types.ModuleType("models.networks.DCNv2")
+    dcn_mod = types.ModuleType("models.networks.DCNv2.dcn_v2")
+    dcn_mod.DCN = type("DCN", (), {})
+    sys.modules.setdefault("models.networks.DCNv2", dcn_pkg)
+    sys.modules.setdefault("models.networks.DCNv2.dcn_v2", dcn_mod)
+    from models.networks import feature_extraction_dla34 as ref_dla
+
+    tmodel = ref_dla.dla34(pretrained=False)
+    tmodel.eval()
+    # randomise BN running stats so stat conversion is actually exercised
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for name, buf in tmodel.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(0.2 * torch.randn(buf.shape, generator=gen))
+            elif name.endswith("running_var"):
+                buf.copy_(1 + 0.3 * torch.rand(buf.shape, generator=gen))
+
+    state = {k: v.numpy() for k, v in tmodel.state_dict().items()
+             if hasattr(v, "numpy")}
+    conv_params, conv_stats = CW.convert(state)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 3, 32, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in tmodel(torch.tensor(x))]
+
+    model = DLA(dtype=jnp.float32)
+    got = model.apply({"params": conv_params, "batch_stats": conv_stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want) == 6
+    for lvl, (g, w) in enumerate(zip(got, want)):
+        g = np.asarray(g).transpose(0, 3, 1, 2)
+        assert g.shape == w.shape, (lvl, g.shape, w.shape)
+        np.testing.assert_allclose(g, w, atol=2e-4,
+                                   err_msg=f"DLA level {lvl}")

@@ -70,8 +70,8 @@ def main():
                 cost = builder(fl, frt, rl, rr, R)
                 if args.no_net:
                     return cost.astype(jnp.float32).sum()
-                depth = net.apply(variables, cost, db.reshape(B * K, D),
-                                  train=False)
+                depth, _ = net.apply(variables, cost, db.reshape(B * K, D),
+                                     train=False)
                 return depth.astype(jnp.float32).sum()
 
             def chained(fl, frt, n):

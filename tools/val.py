@@ -138,9 +138,14 @@ def main():
 
     wall = time.time() - t_wall0
     if n > 1:
+        # in pipelined mode the 'net' meter only sees the residual wait
+        # inside finish() after overlap with host work — label it as such
+        # (quote serial-mode runs for pure device time)
+        net_label = ("pure net avg" if serial else
+                     "net wait (overlapped) avg")
         print(f"[val] wall {wall:.1f}s for {n} images = {wall/n*1e3:.0f} "
               f"ms/image ({'serial' if serial else 'pipelined'}); "
-              f"pure net avg {meters['net'].avg*1e3:.0f} ms", flush=True)
+              f"{net_label} {meters['net'].avg*1e3:.0f} ms", flush=True)
 
     if profile:
         jax.profiler.stop_trace()
