@@ -72,28 +72,87 @@ def _render(objs: List[dict], P: np.ndarray, rng: np.random.RandomState
     return img
 
 
-def make_scene(rng: np.random.RandomState, n_cars: int) -> List[dict]:
+def _car(rng, x, z, ry=None):
+    ry = rng.uniform(-np.pi, np.pi) if ry is None else ry
+    dim = [1.5 + rng.rand() * 0.3, 1.6 + rng.rand() * 0.2,
+           3.8 + rng.rand() * 0.6]  # h, w, l
+    color = rng.randint(60, 255, size=3).tolist()
+    return {"type": "Car", "dim": dim, "location": [x, 1.65, z],
+            "rotation_y": ry, "color": color}
+
+
+def make_scene(rng: np.random.RandomState, n_cars: int,
+               recipe: str = "easy") -> List[dict]:
+    """Scene recipes:
+      easy      — fully visible, untruncated cars (round-2 behaviour)
+      occluded  — an occlusion pair (a near car partially covering a far
+                  one) plus optional extras, to exercise the depth-line
+                  occlusion sweep (stereo_utils.py:64-120 semantics) and
+                  the evaluator's max-occlusion difficulty filters
+      truncated — one car hanging off the left or right image edge
+                  (truncation branches of the dataset and box solver)
+    """
     objs = []
+    if recipe == "occluded":
+        z_far = rng.uniform(18, 32)
+        x_far = rng.uniform(-0.2, 0.2) * z_far * 0.5
+        far = _car(rng, x_far, z_far)
+        # near car shifted ~half a car width so it covers part of the far
+        # one but leaves its center and one edge visible
+        z_near = z_far * rng.uniform(0.45, 0.6)
+        u_far = x_far / z_far
+        near = _car(rng, (u_far + rng.choice([-1, 1]) *
+                          rng.uniform(0.06, 0.1)) * z_near, z_near)
+        objs += [far, near]
+        n_cars = max(0, n_cars - 2)
+    elif recipe == "truncated":
+        z = rng.uniform(7, 14)
+        side = rng.choice([-1, 1])
+        # center inside the image but a box edge crossing the border:
+        # ~15-45% of the box hangs outside (Moderate/Hard truncation band)
+        u_edge = (IMG_W - 1 - CX) / F if side > 0 else -CX / F
+        x = (u_edge - side * rng.uniform(0.02, 0.10)) * z
+        objs.append(_car(rng, x, z, ry=rng.uniform(-0.4, 0.4)))
+        n_cars = max(0, n_cars - 1)
     for _ in range(n_cars):
         z = rng.uniform(8, 40)
         x = rng.uniform(-0.35, 0.35) * z * 0.5
-        y = 1.65
-        ry = rng.uniform(-np.pi, np.pi)
-        dim = [1.5 + rng.rand() * 0.3, 1.6 + rng.rand() * 0.2,
-               3.8 + rng.rand() * 0.6]  # h, w, l
-        color = rng.randint(60, 255, size=3).tolist()
-        objs.append({"type": "Car", "dim": dim, "location": [x, y, z],
-                     "rotation_y": ry, "color": color})
+        objs.append(_car(rng, x, z))
     return objs
 
 
+def _bbox2d(o, P):
+    corners = box3d_corners(o["dim"], o["location"], o["rotation_y"])
+    pts = project(P, corners)
+    return np.array([pts[:, 0].min(), pts[:, 1].min(),
+                     pts[:, 0].max(), pts[:, 1].max()])
+
+
 def label_lines(objs, p2) -> str:
+    """KITTI label rows with REAL truncation/occlusion values: truncation =
+    fraction of the 2D box outside the image; occlusion level from the
+    fraction covered by boxes of strictly nearer objects (0/1/2 at
+    0.2/0.5, mirroring the evaluator's difficulty filters)."""
+    full_boxes = [_bbox2d(o, p2) for o in objs]
     lines = []
-    for o in objs:
-        corners = box3d_corners(o["dim"], o["location"], o["rotation_y"])
-        pts = project(p2, corners)
-        bbox = [max(pts[:, 0].min(), 0), max(pts[:, 1].min(), 0),
-                min(pts[:, 0].max(), IMG_W - 1), min(pts[:, 1].max(), IMG_H - 1)]
+    for i, o in enumerate(objs):
+        fb = full_boxes[i]
+        bbox = [max(fb[0], 0), max(fb[1], 0),
+                min(fb[2], IMG_W - 1), min(fb[3], IMG_H - 1)]
+        full_area = max((fb[2] - fb[0]) * (fb[3] - fb[1]), 1e-6)
+        vis_area = max(bbox[2] - bbox[0], 0) * max(bbox[3] - bbox[1], 0)
+        trunc = float(np.clip(1.0 - vis_area / full_area, 0.0, 1.0))
+
+        covered = 0.0
+        for j, other in enumerate(objs):
+            if other["location"][2] >= o["location"][2] - 0.5 or j == i:
+                continue
+            ob = full_boxes[j]
+            ix = max(0.0, min(bbox[2], ob[2]) - max(bbox[0], ob[0]))
+            iy = max(0.0, min(bbox[3], ob[3]) - max(bbox[1], ob[1]))
+            covered = max(covered, ix * iy / max(vis_area, 1e-6))
+        occ = 0 if covered < 0.2 else (1 if covered < 0.5 else 2)
+
         x, y, z = o["location"]
         alpha = o["rotation_y"] - np.arctan2(x, z)
         if alpha > np.pi:
@@ -101,7 +160,7 @@ def label_lines(objs, p2) -> str:
         if alpha < -np.pi:
             alpha += 2 * np.pi
         lines.append(
-            f"{o['type']} 0.00 0 {alpha:.2f} "
+            f"{o['type']} {trunc:.2f} {occ} {alpha:.2f} "
             f"{bbox[0]:.2f} {bbox[1]:.2f} {bbox[2]:.2f} {bbox[3]:.2f} "
             f"{o['dim'][0]:.2f} {o['dim'][1]:.2f} {o['dim'][2]:.2f} "
             f"{x:.2f} {y:.2f} {z:.2f} {o['rotation_y']:.2f}")
@@ -125,7 +184,19 @@ def build_fixture(root: str, n_train: int = 4, n_val: int = 2,
     n_total = n_train + n_val
     ids = []
     for i in range(n_total):
-        objs = make_scene(rng, n_cars=rng.randint(1, 4))
+        # scenes 0-1 stay easy (the overfit acceptance test's calibration
+        # depends on them); beyond that, mix in occlusion pairs and
+        # truncated cars so the evaluator's difficulty filters and the
+        # occlusion/truncation branches get end-to-end coverage
+        if i < 2:
+            recipe = "easy"
+        elif i % 3 == 2:
+            recipe = "occluded"
+        elif i % 4 == 3:
+            recipe = "truncated"
+        else:
+            recipe = "easy"
+        objs = make_scene(rng, n_cars=rng.randint(1, 4), recipe=recipe)
         tex_rng = np.random.RandomState(1000 + i)
         img_l = _render(objs, p2, np.random.RandomState(1000 + i))
         img_r = _render(objs, p3, np.random.RandomState(1000 + i))
