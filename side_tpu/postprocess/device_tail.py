@@ -1,0 +1,180 @@
+"""The whole inference tail as ONE jitted device program.
+
+Round-2 profiling showed the eval pipeline host-bound: ~90 ms decode-fetch
+(three separate small fetches through the relay) + ~100 ms post per image
+(two more jitted programs dispatched per frame with their own round trips,
+plus a 2x-upsampled image bounced device->host->device).  This module fuses
+the reference's entire post-processing tail
+(/root/reference/src/lib/utils/post_process.py:19-207 — affine unwarp,
+disparity/cost-volume depth, geometric solve, dense photometric alignment on
+the 2x-upsampled originals, re-solve) into a single fixed-shape XLA program
+whose inputs are the decode outputs (still on device), the RAW uint8 frame
+(one H2D copy; normalisation and 2x upsampling happen on device), and a
+handful of per-frame calib/affine scalars.  One dispatch, one (K, 16) fetch.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import geometry as G
+from ..data.kitti import calib_from_list
+from . import box_solver as BS
+from . import dense_align as DA
+
+
+def _affine_pts(pts: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) points through a (2, 3) affine matrix."""
+    return pts @ A[:, :2].T + A[:, 2]
+
+
+@partial(jax.jit, static_argnames=("grid", "run_align", "cost_volume"))
+def _tail(dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
+          mean, std, *, grid: int, run_align: bool, cost_volume: bool):
+    """dets/dets_r: (K, 6); info: (K, 9|10); img_*: (H, W, 3) uint8.
+
+    calib_pack: [f, bl, cx, cy, x_shift, y_shift, z_shift,
+                 p2_03, p2_13, p2_23, p2_02, p2_12, p2_00, p2_11] (f32).
+    Returns (rows (K, 13), keep (K,), classes (K,)) — the same values
+    post_process.process_frame produced, still on device.
+    """
+    f, bl = calib_pack[0], calib_pack[1]
+    cx, cy = calib_pack[2], calib_pack[3]
+    x_shift, y_shift, z_shift = calib_pack[4], calib_pack[5], calib_pack[6]
+    p2_03, p2_13, p2_23 = calib_pack[7], calib_pack[8], calib_pack[9]
+    p2_02, p2_12 = calib_pack[10], calib_pack[11]
+    p2_00, p2_11 = calib_pack[12], calib_pack[13]
+    im_w = jnp.float32(img_left.shape[1])
+    im_h = jnp.float32(img_left.shape[0])
+
+    scores = dets[:, 4]
+    classes = dets[:, 5].astype(jnp.int32)
+
+    def unwarp(d):
+        p1 = _affine_pts(d[:, :2] - 0.5 * d[:, 2:4], trans_inv_out)
+        p2 = _affine_pts(d[:, :2] + 0.5 * d[:, 2:4], trans_inv_out)
+        return jnp.concatenate([p1, p2], axis=1)
+
+    box_left = unwarp(dets)                       # (K, 4)
+    box_right = unwarp(dets_r)
+    width = box_left[:, 2] - box_left[:, 0]
+    px = box_left[:, 0:1] + info[:, 5:8] * width[:, None] / grid
+    kpts = jnp.concatenate([px, info[:, 8:9]], axis=1)   # (K, 4)
+    dim = info[:, :3]                             # (h, w, l)
+    alpha = jnp.arctan2(info[:, 3], info[:, 4])
+
+    center_x = (box_left[:, 0] + box_left[:, 2]) / 2
+    center_y = (box_left[:, 1] + box_left[:, 3]) / 2
+    center_x_r = (box_right[:, 0] + box_right[:, 2]) / 2
+
+    if cost_volume and info.shape[1] > 9:
+        depth = info[:, 9]
+    else:
+        disp = center_x - center_x_r
+        depth = f * bl / jnp.where(jnp.abs(disp) < 1e-3, 1e-3, disp)
+    depth = jnp.clip(depth, 0.5, 300.0)
+
+    z = depth - p2_23
+    x = (center_x * depth - p2_03 - p2_02 * z) / p2_00
+    y = (center_y * depth - p2_13 - p2_12 * z) / p2_11 + dim[:, 0] / 2
+    theta = alpha + jnp.arctan2(center_x - cx, f)
+    theta = jnp.where(theta > math.pi, theta - 2 * math.pi, theta)
+    theta = jnp.where(theta < -math.pi, theta + 2 * math.pi, theta)
+
+    dim_whl = dim[:, jnp.array([1, 0, 2])]
+    p2_mat = jnp.stack([
+        jnp.stack([p2_00, jnp.float32(0), cx, p2_03]),
+        jnp.stack([jnp.float32(0), p2_11, cy, p2_13]),
+        jnp.stack([jnp.float32(0), jnp.float32(0), jnp.float32(1), p2_23]),
+    ])
+    consts = BS.build_consts(
+        jnp.stack([im_w, im_h]), p2_mat, bl, alpha, dim_whl,
+        box_left, box_right, kpts, use_right=False, grid=grid)
+    states = BS.solve_x_y_theta(consts, depth)
+    solved_ok = jnp.isfinite(states).all(axis=1)
+    x = jnp.where(solved_ok, states[:, 0] - x_shift, x)
+    y = jnp.where(solved_ok, states[:, 1] - y_shift, y)
+    z_out = jnp.where(solved_ok, depth - z_shift, z)
+    theta = jnp.where(solved_ok, states[:, 2] - math.pi / 2, theta)
+
+    if run_align:
+        norm_l = (img_left.astype(jnp.float32) / 255.0 - mean) / std
+        norm_r = (img_right.astype(jnp.float32) / 255.0 - mean) / std
+        H, W = norm_l.shape[0], norm_l.shape[1]
+        im_l2 = jax.image.resize(norm_l[None], (1, H * 2, W * 2, 3),
+                                 method="bilinear")[0]
+        im_r2 = jax.image.resize(norm_r[None], (1, H * 2, W * 2, 3),
+                                 method="bilinear")[0]
+        scale = 2.0
+        keep = scores > 0.0  # real thresh applied host-side; align all slots
+        poses = jnp.stack([x + x_shift, y + y_shift, z_out + z_shift,
+                           dim[:, 1], dim[:, 0], dim[:, 2],
+                           theta + math.pi / 2], axis=1)
+        status, best_dis = DA.align_depths(
+            im_l2, im_r2, f * scale, bl, cx * scale, cy * scale,
+            box_left * scale, kpts[:, :2] * scale, poses, keep)
+        z_aligned = f * bl / jnp.maximum(best_dis, 1e-3)
+        states2 = BS.solve_x_y_theta(consts, z_aligned)
+        ok2 = (status > 0) & jnp.isfinite(states2).all(axis=1)
+        x = jnp.where(ok2, states2[:, 0] - x_shift, x)
+        y = jnp.where(ok2, states2[:, 1] - y_shift, y)
+        z_out = jnp.where(ok2, z_aligned - z_shift, z_out)
+        theta = jnp.where(ok2, states2[:, 2] - math.pi / 2, theta)
+
+    rows = jnp.concatenate([
+        alpha[:, None], box_left, dim, x[:, None], y[:, None],
+        z_out[:, None], theta[:, None], scores[:, None]], axis=1)
+    return rows, classes
+
+
+def calib_pack_from_meta(meta: Dict, cfg: Config
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: per-frame affine + calib scalars for `_tail`."""
+    c, s = meta["c"], meta["s"]
+    calib = calib_from_list(meta["calib"])
+    trans_inv_out = G.get_affine_transform(
+        c, s, 0, [cfg.output_w, cfg.output_h], inv=True).astype(np.float32)
+    f = calib.f
+    pack = np.array([
+        f, calib.baseline, calib.p2[0, 2], calib.p2[1, 2],
+        (calib.p2[0, 3] - calib.p0[0, 3]) / f,
+        (calib.p2[1, 3] - calib.p0[1, 3]) / f,
+        (calib.p2[2, 3] - calib.p0[2, 3]) / f,
+        calib.p2[0, 3], calib.p2[1, 3], calib.p2[2, 3],
+        calib.p2[0, 2], calib.p2[1, 2],
+        calib.p2[0, 0], calib.p2[1, 1],
+    ], np.float32)
+    return trans_inv_out, pack
+
+
+def run_tail(dets, dets_r, info, img_left_u8, img_right_u8, meta: Dict,
+             cfg: Config, run_align: bool = True):
+    """Dispatch the fused tail; returns device handles (rows, classes).
+
+    dets/dets_r/info may be device arrays straight from the decode program
+    (no intermediate fetch)."""
+    trans_inv_out, pack = calib_pack_from_meta(meta, cfg)
+    mean = jnp.asarray(np.asarray(cfg.mean, np.float32).reshape(1, 1, 3))
+    std = jnp.asarray(np.asarray(cfg.std, np.float32).reshape(1, 1, 3))
+    return _tail(dets, dets_r, info, jnp.asarray(img_left_u8),
+                 jnp.asarray(img_right_u8),
+                 jnp.asarray(trans_inv_out), jnp.asarray(pack), mean, std,
+                 grid=cfg.grid, run_align=run_align,
+                 cost_volume=cfg.cost_volume)
+
+
+def bucket_results(rows: np.ndarray, classes: np.ndarray, scores: np.ndarray,
+                   keep: np.ndarray, num_classes: int
+                   ) -> Dict[int, np.ndarray]:
+    preds: Dict[int, np.ndarray] = {}
+    for cls in range(num_classes):
+        sel = keep & (classes == cls)
+        preds[cls + 1] = rows[sel]
+    return preds

@@ -140,30 +140,66 @@ class Detector:
                 "image_right": image_right, "t0": t0,
                 "load": t_load - t0, "pre": t_pre - t_load}
 
-    def dispatch(self, pre) -> Dict:
-        """Enqueue the device program WITHOUT waiting (JAX dispatch is
+    def dispatch(self, pre, run_align: bool = True) -> Dict:
+        """Enqueue the device programs WITHOUT waiting (JAX dispatch is
         async): the chip computes frame i while the host post-processes
-        frame i-1 and a worker pre-processes frame i+1."""
+        frame i-1 and a worker pre-processes frame i+1.
+
+        By default the ENTIRE tail (unwarp + solve + dense align +
+        re-solve, see postprocess/device_tail.py) is chained onto the
+        decode outputs on device, so `finish` fetches one (K, 13) array
+        instead of three decode tensors + two more per-frame dispatches
+        (round-2's 90 ms dec + 100 ms post host tail).  Set
+        SIDE_TPU_HOST_TAIL=1 to fall back to the host numpy tail."""
+        import os
         t = time.time()
         dets, dets_r, info = self._process(self.variables, pre["batch"])
-        pre.update(handles=(dets, dets_r, info), t_dispatch=time.time() - t)
+        if os.environ.get("SIDE_TPU_HOST_TAIL", "0") == "1":
+            pre.update(handles=(dets, dets_r, info), fused=False,
+                       run_align=run_align, t_dispatch=time.time() - t)
+            return pre
+        from ..postprocess.device_tail import run_tail
+        rows, classes = run_tail(dets[0], dets_r[0], info[0], pre["image"],
+                                 pre["image_right"], pre["meta"], self.cfg,
+                                 run_align=run_align)
+        pre.update(handles=(rows, classes), fused=True, run_align=run_align,
+                   t_dispatch=time.time() - t)
         return pre
 
-    def finish(self, pending, run_align: bool = True) -> Dict:
-        """Fetch the device outputs and run the post-processing tail."""
+    def finish(self, pending, run_align=None) -> Dict:
+        """Fetch the device outputs and finish the post-processing tail."""
+        if run_align is not None and run_align != pending["run_align"] \
+                and pending["fused"]:
+            # caller changed its mind after dispatch: re-dispatch fused tail
+            pending = self.dispatch(pending, run_align=run_align)
         t_net0 = time.time()
-        dets, dets_r, info = pending["handles"]
-        jax.block_until_ready(info)
-        t_net = time.time()
-        dets = np.asarray(dets[0])
-        dets_r = np.asarray(dets_r[0])
-        info = np.asarray(info[0])
-        t_dec = time.time()
-        results = process_frame(dets, dets_r, info, pending["meta"], self.cfg,
-                                img_left=pending["image"],
-                                img_right=pending["image_right"],
-                                run_align=run_align)
-        t_post = time.time()
+        if pending["fused"]:
+            rows, classes = pending["handles"]
+            jax.block_until_ready(rows)
+            t_net = time.time()
+            rows = np.asarray(rows)
+            classes = np.asarray(classes)
+            t_dec = time.time()
+            keep = rows[:, 12] > self.cfg.peak_thresh
+            results = {}
+            for cls in range(self.cfg.num_classes):
+                sel = keep & (classes == cls)
+                results[cls + 1] = rows[sel]
+            t_post = time.time()
+        else:
+            dets, dets_r, info = pending["handles"]
+            jax.block_until_ready(info)
+            t_net = time.time()
+            dets = np.asarray(dets[0])
+            dets_r = np.asarray(dets_r[0])
+            info = np.asarray(info[0])
+            t_dec = time.time()
+            results = process_frame(
+                dets, dets_r, info, pending["meta"], self.cfg,
+                img_left=pending["image"],
+                img_right=pending["image_right"],
+                run_align=pending["run_align"])
+            t_post = time.time()
         results = self.merge_outputs(results)
         t_end = time.time()
         return {
@@ -178,7 +214,7 @@ class Detector:
     def run(self, images_or_paths, image_id=None, calib=None,
             run_align: bool = True) -> Dict:
         pre = self.load_and_pre(images_or_paths, calib)
-        return self.finish(self.dispatch(pre), run_align=run_align)
+        return self.finish(self.dispatch(pre, run_align=run_align))
 
 
 def _fb_from_calib(calib) -> float:

@@ -228,3 +228,42 @@ def test_detector_run_end_to_end():
             assert np.isfinite(rows).all()
     for k in ("tot", "load", "pre", "net", "dec", "post", "merge"):
         assert out[k] >= 0
+
+
+def test_device_tail_matches_host_tail():
+    """The fused on-device tail (postprocess/device_tail.py) must agree
+    with the host numpy process_frame on identical decode outputs —
+    including the dense-align branch on rendered stereo."""
+    import jax.numpy as jnp
+    from side_tpu.postprocess.device_tail import run_tail
+
+    cfg = Config()
+    objs = [{"type": "Car", "dim": list(DIM_HWL),
+             "location": [c[0], c[1], c[2]], "rotation_y": c[3],
+             "color": [200, 80, 60]} for c in CARS[:3]]
+    _, p2, p3 = _meta(cfg)
+    img_l = _render(objs, p2, np.random.RandomState(3))
+    img_r = _render(objs, p3, np.random.RandomState(3))
+
+    for run_align in (False, True):
+        dets, dets_r, info, meta = _make_decode_outputs(
+            cfg, CARS[:3], depth_fn=(lambda zz: zz + 1.5) if run_align
+            else (lambda zz: zz))
+        want = process_frame(dets, dets_r, info, meta, cfg,
+                             img_left=img_l, img_right=img_r,
+                             run_align=run_align)
+        rows, classes = run_tail(
+            jnp.asarray(dets), jnp.asarray(dets_r), jnp.asarray(info),
+            img_l, img_r, meta, cfg, run_align=run_align)
+        rows = np.asarray(rows)
+        classes = np.asarray(classes)
+        keep = rows[:, 12] > cfg.peak_thresh
+        for cls in range(cfg.num_classes):
+            sel = keep & (classes == cls)
+            got_rows = rows[sel]
+            want_rows = want[cls + 1]
+            assert got_rows.shape == want_rows.shape, (cls, run_align)
+            if len(want_rows):
+                np.testing.assert_allclose(
+                    got_rows, want_rows, atol=2e-2,
+                    err_msg=f"cls {cls} run_align={run_align}")

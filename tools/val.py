@@ -127,14 +127,15 @@ def main():
             if item is None:
                 break
             ind, img_id, pre = item
-            dispatched = (ind, img_id, detector.dispatch(pre))
+            dispatched = (ind, img_id,
+                          detector.dispatch(pre, run_align=not no_align))
             if pending is not None:
                 pind, pid, p = pending
-                report(pind, pid, detector.finish(p, run_align=not no_align))
+                report(pind, pid, detector.finish(p))
             pending = dispatched
         if pending is not None:
             pind, pid, p = pending
-            report(pind, pid, detector.finish(p, run_align=not no_align))
+            report(pind, pid, detector.finish(p))
 
     wall = time.time() - t_wall0
     if n > 1:
