@@ -170,14 +170,22 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyE - syf))
             wyp = jnp.where(jnp.abs(dyE - syf) < 1.0,
                             -jnp.sign(dyE - syf), 0.0)
-            la, ly, lx = acc_ref[:], ady_ref[:], adx_ref[:]
+            # separable factoring: the (i, j) triangle products split as
+            # acc = sum_i wy_i * (sum_j wx_j x_ij) etc., so the inner
+            # j-loop runs TWO accumulator streams (row sums rs / rsx)
+            # instead of three CP-wide streams per (i, j) term, and the
+            # wy*wx per-term product disappears — ~1.8x fewer VPU ops
+            # than the naive col2im_coord expansion
+            rs = jnp.zeros_like(acc_ref[:])
+            rsx = jnp.zeros_like(rs)
             for ix, sx in enumerate(range(-R, R + 2)):
                 cxs = PAD - 1 + tx + sx
                 xsw = xs[:, cxs:cxs + W, :]
-                la = la + xsw * (wy * wx[ix])
-                ly = ly + xsw * (wyp * wx[ix])
-                lx = lx + xsw * (wy * wxp[ix])
-            acc_ref[:], ady_ref[:], adx_ref[:] = la, ly, lx
+                rs = rs + xsw * wx[ix]
+                rsx = rsx + xsw * wxp[ix]
+            acc_ref[:] = acc_ref[:] + wy * rs
+            ady_ref[:] = ady_ref[:] + wyp * rs
+            adx_ref[:] = adx_ref[:] + wy * rsx
             return carry
 
         jax.lax.fori_loop(0, S, row_body, 0)
@@ -218,7 +226,10 @@ def _pick_tile_bwd(H: int, W: int, CP: int, R: int, halo: int,
     even tile 1 does not fit (callers fall back to the XLA windowed VJP
     rather than hit a Mosaic VMEM failure)."""
     per_row = (W + 2 * (R + 2)) * CP * 4
-    budget = _fwd._VMEM_LIMIT // 2
+    # the Mosaic stack runs ~2.2x past this block+temp estimate (see
+    # _vmem_request_margin), so pick tiles whose estimate keeps the
+    # request inside the 96M scope after that margin
+    budget = int(_fwd._VMEM_LIMIT / 2.2)
     for t in (8, 6, 4, 3, 2, 1):
         if H % t == 0 and \
                 (t + halo) * per_row * n_temps <= budget:
@@ -291,10 +302,10 @@ def _run_dx(x, gP, offP, maskP, wT, B, H, W, C, Cout, R, G, itemsize):
                     starts, rows)
     mwin = _windows(jnp.pad(maskP, ((0, 0), (G, G), (G, G), (0, 0)))[0],
                     starts, rows)
-    vmem_dx = _fwd._vmem_request(
+    vmem_dx = _fwd._vmem_request_margin(
         2 * rows * Wp * (CoP * itemsize + 18 * B * 4 + 9 * B * 4)
         + 9 * CoP * CP * 4 + 2 * tile_dx * W * CP * itemsize
-        + rows * Wp * CP * 4 * 6 + tile_dx * W * CP * 4 * 2)
+        + rows * Wp * CP * 4 * 6 + tile_dx * W * CP * 4 * 2, 2.2)
     kern = functools.partial(_dx_kernel, W=W, C=C, Cout=Cout, P=B,
                              tile_h=tile_dx, R=R, G=G)
     dxP = pl.pallas_call(
@@ -341,11 +352,11 @@ def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout,
     # x windows: tile t needs padded rows [t*tile + PAD-1-R, + win_rows)
     xwin = _windows(jnp.pad(xP, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))[0],
                     jnp.arange(Tc) * tile_dc + PAD - 1 - R, win_rows)
-    vmem_dc = _fwd._vmem_request(
+    vmem_dc = _fwd._vmem_request_margin(
         2 * win_rows * Wx * CP * itemsize + 9 * CoP * CP * 4
         + 9 * CP * CoP * 4 + 9 * CP * CoP * 4
         + 2 * tile_dc * W * (CoP * itemsize + 27 * B * 4 + 27 * B * 4)
-        + win_rows * Wx * CP * 4 + tile_dc * W * CP * 4 * 18)
+        + win_rows * Wx * CP * 4 + tile_dc * W * CP * 4 * 18, 2.2)
     kern2 = functools.partial(_dcoord_kernel, W=W, C=C, Cout=Cout, P=B,
                               tile_h=tile_dc, R=R, PAD=PAD)
     doffP, dmaskP, dwBig = pl.pallas_call(

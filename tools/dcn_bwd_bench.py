@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--shape", default="big")
     ap.add_argument("--parts", default="dx,dcoord")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--radius", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -34,7 +35,7 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.bfloat16)
     w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.1, jnp.float32)
-    offset18 = jnp.asarray(rng.uniform(-1.5, 1.5, (B, H, W, 18)),
+    offset18 = jnp.asarray(rng.uniform(-min(1.5, args.radius), min(1.5, args.radius), (B, H, W, 18)),
                            jnp.float32)
     mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
     g = jnp.asarray(rng.randn(B, H, W, Cout) * 0.1, jnp.bfloat16)
@@ -44,7 +45,7 @@ def main():
 
         @jax.jit
         def run(x, offset18, mask, w, g, part=part):
-            outs = BW.dcn_packed_backward(x, offset18, mask, w, g, 2,
+            outs = BW.dcn_packed_backward(x, offset18, mask, w, g, args.radius,
                                           parts=(part,) if part != "all"
                                           else ("dx", "dcoord"))
             return sum(o.astype(jnp.float32).sum() for o in outs

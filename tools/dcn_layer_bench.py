@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--mode", default="pallas")
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd (value_and_grad wrt x/offset/mask/w)")
+    ap.add_argument("--radius", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -60,9 +61,14 @@ def main():
                              jnp.float32)
         mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
 
-        fn = {"pallas": deform_conv2d_pallas,
-              "windowed": deform_conv2d_windowed,
-              "exact": deform_conv._deform_conv2d_gather}[args.mode]
+        fn0 = {"pallas": deform_conv2d_pallas,
+               "windowed": deform_conv2d_windowed,
+               "exact": deform_conv._deform_conv2d_gather}[args.mode]
+        if args.mode in ("pallas", "windowed"):
+            import functools
+            fn = functools.partial(fn0, radius=args.radius)
+        else:
+            fn = fn0
 
         if args.grad:
             @jax.jit
@@ -97,7 +103,7 @@ def main():
         ts = min(t(n_s) for _ in range(2))
         tb = min(t(n_b) for _ in range(2))
         per = (tb - ts) / (n_b - n_s)
-        gflop_vpu = B * H * W * Cin * 9 * 36 * 2 / 1e9
+        gflop_vpu = B * H * W * Cin * 9 * (2*args.radius+2)**2 * 2 / 1e9
         print(f"[layer {name}] {args.mode}: {per*1e3:.3f} ms "
               f"(x{count} in model = {per*count*1e3:.1f} ms; "
               f"vpu {gflop_vpu/per/1e3:.2f} TFLOP/s; compile {compile_s:.0f}s)",
