@@ -125,6 +125,9 @@ class Config:
     compute_dtype: str = "bfloat16"
     # per-image cost-volume proposal count at inference (train uses MAX_OBJS)
     roi_size: int = 16  # depth bins == RoIAlign resolution (stereo_network_old.py:270)
+    # inference 3D-CNN runs on the top cv_topk score-ordered slots only,
+    # disparity fallback beyond (0 = all K slots; see StereoNet.cv_topk)
+    cv_topk: int = 32
     max_objs: int = MAX_OBJS
     # use gradient checkpointing on the backbone
     remat: bool = False
@@ -268,6 +271,7 @@ class Config:
         p.add_argument("--process_id", type=int, default=-1)
         p.add_argument("--compute_dtype", default="bfloat16")
         p.add_argument("--remat", action="store_true")
+        p.add_argument("--cv_topk", type=int, default=32)
         p.add_argument("--depth_variant", default="cost_volume",
                        choices=["cost_volume", "voxel"])
         p.add_argument("--eval_oracle_hm", action="store_true")
@@ -312,6 +316,7 @@ class Config:
             coordinator_address=a.coordinator_address,
             num_processes=a.num_processes, process_id=a.process_id,
             compute_dtype=a.compute_dtype, remat=a.remat,
+            cv_topk=a.cv_topk,
             depth_variant=a.depth_variant,
             eval_oracle_hm=a.eval_oracle_hm, eval_oracle_wh=a.eval_oracle_wh,
             eval_oracle_offset=a.eval_oracle_offset,

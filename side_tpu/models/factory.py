@@ -35,7 +35,7 @@ def create_model(cfg: Config):
                          max_objs=cfg.max_objs, topk=cfg.K,
                          down_ratio=cfg.down_ratio, input_w=cfg.input_w,
                          wh_scale=cfg.wh_scale, dtype=dtype,
-                         remat=cfg.remat)
+                         remat=cfg.remat, cv_topk=cfg.cv_topk)
     if family == "resdcn":
         from .resnet_dcn import StereoResNet
         return StereoResNet(heads=dict(cfg.heads), num_layers=num_layers,

@@ -68,6 +68,14 @@ class StereoNet(nn.Module):
     wh_scale: float = 1.0
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialise the backbone to trade FLOPs for HBM
+    # inference-only cap on cost-volume proposals: decode emits slots in
+    # DESCENDING score order and post-processing keeps only rows above
+    # peak_thresh (0.2 — rarely more than ~10/frame on KITTI), so running
+    # the 3D-CNN on the top cv_topk slots and falling back to disparity
+    # depth for the tail changes nothing unless >cv_topk detections
+    # survive the threshold.  0 = all topk slots (exact reference parity).
+    # ~3x cheaper cost-volume segment at K=100 (tools/cv_bench.py).
+    cv_topk: int = 32
 
     LEFT_ONLY = ("kept_type",)
 
@@ -115,27 +123,42 @@ class StereoNet(nn.Module):
 
             if target is not None:
                 bbox, bbox_right, valid = target
+                kcv = bbox.shape[1]            # train: all GT slots
             else:
                 bbox, bbox_right, valid = dec.bbox_decode(
                     out["hm"], out["wh"] * self.wh_scale, out["reg"],
                     K=self.topk)
+                kcv = (min(self.cv_topk, self.topk) if self.cv_topk > 0
+                       else self.topk)
 
+            K = bbox.shape[1]
             rois_l, rois_r, depth_bin = proposal_shift(
-                bbox, bbox_right, batch["fb"].reshape(B), self.roi_size,
-                feat_w)
+                bbox[:, :kcv], bbox_right[:, :kcv],
+                batch["fb"].reshape(B), self.roi_size, feat_w)
             cost = build_cost_volume(red_left, red_right, rois_l, rois_r,
                                      self.roi_size)
-            K = bbox.shape[1]
             disp, logits = CostVolumeNet(32, dtype=self.dtype,
                                          name="depth_estimator")(
-                cost, depth_bin.reshape(B * K, self.roi_size), train)
-            depth = disp.reshape(B, K, 1)
+                cost, depth_bin.reshape(B * kcv, self.roi_size), train)
+            depth_cv = disp.reshape(B, kcv, 1)
+            if kcv < K:
+                # disparity fallback for the low-score tail (these rows
+                # are discarded above peak_thresh anyway; see cv_topk)
+                cl = (bbox[..., 0] + bbox[..., 2]) / 2
+                cr = (bbox_right[..., 0] + bbox_right[..., 2]) / 2
+                disp_full = (cl - cr) * self.down_ratio
+                d_disp = batch["fb"].reshape(B, 1) / jnp.where(
+                    jnp.abs(disp_full) < 1e-3, 1e-3, disp_full)
+                depth = jnp.concatenate(
+                    [depth_cv, d_disp[:, kcv:, None]], axis=1)
+            else:
+                depth = depth_cv
             # invalid slots report depth 0 (reference zero-fills, :363)
             depth = depth * valid[..., None].astype(depth.dtype)
             out["depth"] = depth
             # depth-bin distribution for the auxiliary soft-target CE
             # (training only; see ops/losses.depth_bin_ce)
-            out["depth_logits"] = logits.reshape(B, K, self.roi_size)
+            out["depth_logits"] = logits.reshape(B, kcv, self.roi_size)
             out["depth_bin"] = depth_bin
 
         return out

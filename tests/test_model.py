@@ -129,3 +129,33 @@ def test_build_cost_volume_left_minus_right():
     c = np.asarray(cost)
     np.testing.assert_allclose(c[..., 64:], c[..., :32] - c[..., 32:64],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cv_topk_caps_cost_volume(model_and_vars):
+    """cv_topk: top score-ordered slots get cost-volume depth identical to
+    the uncapped run (BN eval mode => per-slot independence); tail slots
+    fall back to decoded-disparity depth."""
+    model, variables = model_and_vars
+    import dataclasses
+    m_full = dataclasses.replace(model, cv_topk=0)
+    m_cap = dataclasses.replace(model, cv_topk=4)
+    batch = _batch()
+    out_full = m_full.apply(variables, batch, use_cost_volume=True,
+                            target=None, train=False)
+    out_cap = m_cap.apply(variables, batch, use_cost_volume=True,
+                          target=None, train=False)
+    assert out_full["depth"].shape == out_cap["depth"].shape == (1, 8, 1)
+    np.testing.assert_allclose(np.asarray(out_cap["depth"][:, :4]),
+                               np.asarray(out_full["depth"][:, :4]),
+                               atol=1e-4)
+    # tail = disparity depth from the decoded boxes
+    from side_tpu.ops.decode import bbox_decode
+    bbox, bbox_r, valid = bbox_decode(out_full["hm"], out_full["wh"],
+                                      out_full["reg"], K=8)
+    cl = (np.asarray(bbox)[..., 0] + np.asarray(bbox)[..., 2]) / 2
+    cr = (np.asarray(bbox_r)[..., 0] + np.asarray(bbox_r)[..., 2]) / 2
+    disp = (cl - cr) * 4
+    exp = 380.0 / np.where(np.abs(disp) < 1e-3, 1e-3, disp)
+    exp = exp * np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(out_cap["depth"][0, 4:, 0]),
+                               exp[0, 4:], rtol=1e-4, atol=1e-4)

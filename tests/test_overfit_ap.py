@@ -84,6 +84,7 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
                   " ".join(f"{k}={v:.3f}" for k, v in stats.items()),
                   flush=True)
     assert np.isfinite(stats["loss"])
+    trainer.save(os.path.join(save_dir, "model_last.npz"), epochs)
 
     # -------- inference on the (identical) val split, full tail ----------
     val_ds = StereoKitti(cfg, "val")
@@ -232,3 +233,4 @@ if __name__ == "__main__":
                                  verbose=True)
     print("APs:", aps)
     print("errors:", errors)
+    print("checkpoint + results under:", tmp)
