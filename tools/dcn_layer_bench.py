@@ -21,6 +21,14 @@ import numpy as np
 # bench batch 2 (backbone sees the concatenated 2B stereo batch)
 SHAPES = {
     "big": (4, 96, 320, 64, 64, 5),
+    # batch-2 inference shapes (bench.py runs batch 2)
+    "big_b2": (2, 96, 320, 64, 64, 5),
+    "mid_b2": (2, 48, 160, 128, 64, 4),
+    "mid2_b2": (2, 48, 160, 128, 128, 2),
+    "small_b2": (2, 24, 80, 256, 128, 2),
+    "small2_b2": (2, 24, 80, 256, 64, 1),
+    "small3_b2": (2, 24, 80, 256, 256, 1),
+    "tiny_b2": (2, 12, 40, 512, 256, 1),
     "mid": (4, 48, 160, 128, 64, 4),
     "mid2": (4, 48, 160, 128, 128, 2),
     "small": (4, 24, 80, 256, 128, 2),
