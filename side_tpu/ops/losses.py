@@ -41,6 +41,40 @@ def focal_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
                      -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0))
 
 
+def focal_loss_logits(logits: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """focal_loss computed from raw logits with saturation-safe gradients.
+
+    DELIBERATE (bounded) DEVIATION from the reference's
+    `_sigmoid = clamp(sigmoid(x), 1e-4, 1-1e-4)` + `_neg_loss`
+    (models/utils.py:8-10, losses.py:42-67): inside the clamp range the
+    value is identical (log(clamp(sigmoid(x))) == log_sigmoid(x) there),
+    but the clamp's zero gradient outside the range permanently kills any
+    positive whose prediction saturates below 1e-4 — observed on the
+    fixture overfit as hm_loss pinned at exactly -log(1e-4)*(1-1e-4)^2 /
+    num_pos with one object undetectable forever.  log_sigmoid via
+    softplus keeps d/dx alive (~1) at arbitrarily negative logits so
+    saturated positives can always recover.  The focal *power* weights
+    still use the clamped probabilities (value-only role).
+    """
+    pred = clamped_sigmoid(logits)
+    log_p = -jax.nn.softplus(-logits)       # log sigmoid(x), never -inf
+    log_1p = -jax.nn.softplus(logits)       # log(1 - sigmoid(x))
+
+    pos = (gt == 1.0).astype(pred.dtype)
+    neg = (gt < 1.0).astype(pred.dtype)
+    neg_weights = jnp.power(1.0 - gt, 4)
+
+    pos_loss = log_p * jnp.power(1.0 - pred, 2) * pos
+    neg_loss = log_1p * jnp.power(pred, 2) * neg_weights * neg
+
+    num_pos = pos.sum()
+    pos_loss = pos_loss.sum()
+    neg_loss = neg_loss.sum()
+    return jnp.where(num_pos == 0,
+                     -neg_loss,
+                     -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0))
+
+
 def masked_l1_loss(output: jnp.ndarray, mask: jnp.ndarray, ind: jnp.ndarray,
                    target: jnp.ndarray) -> jnp.ndarray:
     """L1 over gathered cells, zero outside mask, MEAN over all slots
@@ -123,11 +157,10 @@ def stereo_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
     with `uncert` it is the learned log-variance vector s and the total is
     sum(L_i * exp(-s_i) + s_i).
     """
-    hm = clamped_sigmoid(outputs["hm"])
     hm_gt = batch["hm"]
-    if hm_gt.shape != hm.shape:   # targets stored (B, C, H, W) -> NHWC
+    if hm_gt.shape != outputs["hm"].shape:  # targets (B, C, H, W) -> NHWC
         hm_gt = jnp.transpose(hm_gt, (0, 2, 3, 1))
-    hm_loss = focal_loss(hm, hm_gt)
+    hm_loss = focal_loss_logits(outputs["hm"], hm_gt)
 
     mask, ind = batch["rot_mask"], batch["ind"]
     dim_loss = masked_l1_loss(outputs["dim"], mask, ind, batch["dim"])

@@ -141,3 +141,38 @@ def test_stereo_loss_grad_flows():
         assert np.isfinite(np.asarray(g)).all(), k
     assert float(jnp.abs(grads["hm"]).sum()) > 0
     assert float(jnp.abs(grads["depth"]).sum()) > 0
+
+
+def test_focal_loss_logits_matches_clamped_in_range():
+    """Within the reference clamp range (1e-4, 1-1e-4) the logits form is
+    numerically identical to clamped-sigmoid + focal_loss."""
+    rng = np.random.RandomState(3)
+    gt = np.zeros((2, 8, 10, 3), np.float32)
+    gt[0, 3, 4, 1] = 1.0
+    gt[1, 2, 2, 0] = 1.0
+    gt[1, 2, 3, 0] = 0.8
+    logits = rng.randn(2, 8, 10, 3).astype(np.float32) * 3.0  # |x| < 9
+    a = float(L.focal_loss(L.clamped_sigmoid(jnp.asarray(logits)),
+                           jnp.asarray(gt)))
+    b = float(L.focal_loss_logits(jnp.asarray(logits), jnp.asarray(gt)))
+    assert b == pytest.approx(a, rel=1e-6)
+
+
+def test_focal_loss_logits_saturated_positive_recovers():
+    """The clamp's zero gradient permanently kills a positive whose
+    prediction saturates below 1e-4 (observed: hm_loss pinned at
+    -log(1e-4)*(1-1e-4)^2/num_pos on the fixture overfit).  The logits
+    form must keep a usable gradient there."""
+    gt = np.zeros((1, 4, 4, 1), np.float32)
+    gt[0, 1, 1, 0] = 1.0
+    logits = np.full((1, 4, 4, 1), -12.0, np.float32)  # sigmoid ~ 6e-6
+
+    g_clamped = jax.grad(lambda x: L.focal_loss(L.clamped_sigmoid(x),
+                                                jnp.asarray(gt)))(
+        jnp.asarray(logits))
+    g_logits = jax.grad(lambda x: L.focal_loss_logits(x, jnp.asarray(gt)))(
+        jnp.asarray(logits))
+    # clamped path: dead everywhere (all preds outside the clamp range)
+    assert float(jnp.abs(g_clamped).max()) == 0.0
+    # logits path: the positive cell still pulls up with ~unit slope
+    assert float(g_logits[0, 1, 1, 0]) == pytest.approx(-1.0, abs=0.05)
