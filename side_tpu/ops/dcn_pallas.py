@@ -64,6 +64,16 @@ _PACK = _os.environ.get("SIDE_TPU_DCN_PACK", "1") == "1"
 # "reshape" is rejected by this Mosaic version, and "repeat" at tile 8
 # overflowed chip VMEM / at tile 4 ran 14% slower than matmul at tile 8)
 _EXPAND = _os.environ.get("SIDE_TPU_DCN_EXPAND", "matmul")
+# packed-kernel accumulation: "factored" exploits the separable triangle
+# weights (sum_sy wy * (sum_sx x*wx)) — the acc ref is touched once per
+# row shift instead of once per (row, col) term.  MEASURED AND REJECTED
+# as the default: at the dominant batch-2 eval shape the factored form
+# runs 5.00 ms vs rmw's 4.37 ms and compiles 2.2x slower (349 s vs
+# 155 s) — the row-sum value chain extends live ranges and spills, the
+# same pathology as the loop-carried value accumulator (29% slower in
+# round 2).  The identical restructuring DOES win 1.8x in the d_coord
+# backward, where it removes two of three CP-wide accumulator streams.
+_ACCUM = _os.environ.get("SIDE_TPU_DCN_ACCUM", "rmw")
 
 
 def _vmem_request(need_bytes: int) -> int:
@@ -156,14 +166,25 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                 xs = x32_ref[pl.ds(ty + i, tile_h)]
                 syf = i.astype(jnp.float32) - R
                 wyi = jnp.maximum(0.0, 1.0 - jnp.abs(dyk - syf))
-                # accumulate the 6 unrolled sx terms in a value and touch
-                # the ref once per iteration: 6x fewer VMEM row-trips
-                local = acc_ref[:]
-                for ix, sx in enumerate(range(-R, R + 2)):
-                    cxs = PAD - 1 + tx + sx
-                    local = local + \
-                        xs[:, cxs:cxs + W, :] * (wyi * wxl[ix])[:, :, None]
-                acc_ref[:] = local
+                if _ACCUM == "factored":
+                    # separable triangle weights: one wy multiply per row
+                    # shift instead of one per term (see the packed kernel)
+                    cxs0 = PAD - 1 + tx - R
+                    row = xs[:, cxs0:cxs0 + W, :] * wxl[0][:, :, None]
+                    for ix in range(1, S):
+                        cxs = cxs0 + ix
+                        row = row + \
+                            xs[:, cxs:cxs + W, :] * wxl[ix][:, :, None]
+                    acc_ref[:] = acc_ref[:] + row * wyi[:, :, None]
+                else:
+                    # accumulate the 6 unrolled sx terms in a value and
+                    # touch the ref once per iteration
+                    local = acc_ref[:]
+                    for ix, sx in enumerate(range(-R, R + 2)):
+                        cxs = PAD - 1 + tx + sx
+                        local = local + xs[:, cxs:cxs + W, :] * \
+                            (wyi * wxl[ix])[:, :, None]
+                    acc_ref[:] = local
                 return carry
 
             jax.lax.fori_loop(0, S, row_body, 0)
@@ -252,13 +273,26 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
             xs = x32_ref[pl.ds(ty + i, tile_h)]
             syf = i.astype(jnp.float32) - R
             wyi = jnp.maximum(0.0, 1.0 - jnp.abs(dyE - syf))
-            # per-term ref accumulation: a value carry of the CP-wide
-            # accumulator spills here (measured 29% slower at the big
-            # shape), unlike the narrower unpacked kernel where it wins
-            for ix, sx in enumerate(range(-R, R + 2)):
-                cxs = PAD - 1 + tx + sx
-                acc_ref[:] = acc_ref[:] + \
-                    xs[:, cxs:cxs + W, :] * (wyi * wxl[ix])
+            if _ACCUM == "factored":
+                # separable triangle weights: acc += wy * (sum_sx x*wx).
+                # The sx sum is a short local value chain (consumed within
+                # the iteration, so it does not spill the way a LOOP-CARRIED
+                # value accumulator did — that one measured 29% slower);
+                # the acc ref is touched once per row shift instead of once
+                # per (row, col) term: 6x less RMW traffic and 7 instead of
+                # 12 CP-wide multiplies per iteration.
+                cxs0 = PAD - 1 + tx - R
+                row = xs[:, cxs0:cxs0 + W, :] * wxl[0]
+                for ix in range(1, S):
+                    cxs = cxs0 + ix
+                    row = row + xs[:, cxs:cxs + W, :] * wxl[ix]
+                acc_ref[:] = acc_ref[:] + row * wyi
+            else:
+                # "rmw": the round-2 per-term pattern
+                for ix, sx in enumerate(range(-R, R + 2)):
+                    cxs = PAD - 1 + tx + sx
+                    acc_ref[:] = acc_ref[:] + \
+                        xs[:, cxs:cxs + W, :] * (wyi * wxl[ix])
             return carry
 
         jax.lax.fori_loop(0, S, row_body, 0)
@@ -287,7 +321,11 @@ def _packed_need(H, W, CP, B, Cout, R, PAD, itemsize, tile_h):
              + win_rows * (W + 2 * PAD) * CP * 4                # win scratch
              + tile_h * W * 9 * CP * itemsize                   # cols
              + tile_h * W * CP * 4)                             # acc scratch
-    temps = 4 * tile_h * W * CP * 4             # expanded off/mask + wy/wx
+    # expanded off/mask + wy/wx; the opt-in factored accumulation carries
+    # an extra CP-wide row-sum value stream (measured: its Mosaic stack at
+    # the CP=256 eval shape ran 57.2M vs the 4-stream estimate's 50.1M)
+    n_streams = 5 if _ACCUM == "factored" else 4
+    temps = n_streams * tile_h * W * CP * 4
     return exact + 2 * temps
 
 
@@ -336,9 +374,16 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
                              P=B, tile_h=tile_h, R=R, PAD=PAD)
     grid = (1, H // tile_h)
     win_rows = tile_h + 2 * R + 3
-    # _packed_need already carries its own margin; clamp to the ceiling
-    vmem_req = max(32 << 20, min(_VMEM_LIMIT, _packed_need(
-        H, W, CP, B, Cout, R, PAD, itemsize_, tile_h)))
+    # The request takes a further 1.15x on top of _packed_need: the actual
+    # Mosaic stack ran 2-6% past the estimate at the batch-2 eval shape
+    # (rmw 60.58M / factored 63.01M vs 59.26M estimated at tile 16) —
+    # requesting exactly the estimate OOMs scoped vmem, and the stack size
+    # moves with kernel-code revisions (an earlier build needed 70.6M at
+    # the same shape).  The tile PICKER keeps budgeting with the raw
+    # formula against a 0.92 ceiling, so tile choices are unchanged and
+    # the worst-case request clamps at _VMEM_LIMIT.
+    vmem_req = _vmem_request_margin(_packed_need(
+        H, W, CP, B, Cout, R, PAD, itemsize_, tile_h), 1.15)
     out = pl.pallas_call(
         kern,
         grid=grid,

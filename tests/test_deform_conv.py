@@ -260,6 +260,34 @@ def test_pallas_fori_matches_full_unroll():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_factored_matches_rmw():
+    """The factored accumulation (acc += wy * sum_sx(x*wx); opt-in via
+    SIDE_TPU_DCN_ACCUM — measured slower than rmw on TPU but kept as the
+    documented alternative) equals the per-term RMW pattern in both the
+    packed and unpacked kernels."""
+    from side_tpu.ops import dcn_pallas as DP
+    import unittest.mock as um
+    rng = np.random.RandomState(15)
+    B, H, W, Cin, Cout = 2, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    offset = jnp.asarray(rng.uniform(-2, 2, (B, H, W, 9, 2)), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        for pack in (False, True):
+            outs = {}
+            with um.patch.object(DP, "_PACK", pack):
+                for accum in ("rmw", "factored"):
+                    with um.patch.object(DP, "_ACCUM", accum):
+                        outs[accum] = np.asarray(DP.deform_conv2d_pallas(
+                            x, offset, mask, w, b))
+            np.testing.assert_allclose(outs["factored"], outs["rmw"],
+                                       rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_packed_matches_unpacked():
     """The batch-packed kernel (batch in the lane dim; production for the
     C<=128 DLA layers) equals the per-image kernel: pins the c-major lane
