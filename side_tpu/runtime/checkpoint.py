@@ -43,6 +43,17 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
+def dcn_radius_tag() -> int:
+    """The active DCN offset-bound this process trains/evals with: the
+    window radius for the windowed/pallas kernels, -1 for the exact
+    (unbounded, reference-faithful) gather path.  Stored in checkpoints
+    because the clamp is part of the trained function class (see
+    STATUS.md: trained offsets saturate the bound, so a checkpoint must
+    be evaluated with the radius it was trained with)."""
+    from ..ops import deform_conv as dc
+    return -1 if dc._resolve_mode() == "exact" else dc._DCN_RADIUS
+
+
 def save_checkpoint(path: str, epoch: int, params, batch_stats,
                     opt_state_flat: Optional[Dict[str, np.ndarray]] = None,
                     loss_weight=None) -> None:
@@ -57,6 +68,7 @@ def save_checkpoint(path: str, epoch: int, params, batch_stats,
     if loss_weight is not None:
         blobs["loss_weight::lw"] = np.asarray(jax.device_get(loss_weight))
     blobs["meta::epoch"] = np.asarray(epoch)
+    blobs["meta::dcn_radius"] = np.asarray(dcn_radius_tag())
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **blobs)
@@ -77,7 +89,26 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     }
     if "loss_weight" in groups:
         out["loss_weight"] = groups["loss_weight"]["lw"]
+    if "dcn_radius" in groups.get("meta", {}):
+        out["dcn_radius"] = int(groups["meta"]["dcn_radius"])
     return out
+
+
+def warn_radius_mismatch(loaded: Dict[str, Any], log=print) -> None:
+    """Warn when a checkpoint is run under a different DCN offset bound
+    than it was trained with (checkpoints from before the tag was added
+    carry no radius and are skipped)."""
+    stored = loaded.get("dcn_radius")
+    if stored is None:
+        return
+    active = dcn_radius_tag()
+    if stored != active:
+        def name(r):
+            return "exact (unbounded)" if r == -1 else f"windowed R={r}"
+        log(f"WARNING: checkpoint trained with DCN {name(stored)} but "
+            f"running with {name(active)} — the offset clamp is part of "
+            f"the trained function; set SIDE_TPU_DCN/SIDE_TPU_DCN_RADIUS "
+            f"to match (see STATUS.md).")
 
 
 def merge_restore(fresh, loaded, log=print) -> Any:

@@ -44,6 +44,7 @@ class Detector:
             )(jax.random.PRNGKey(0))
             if cfg.load_model:
                 loaded = ckpt.load_checkpoint(cfg.load_model)
+                ckpt.warn_radius_mismatch(loaded)
                 params = ckpt.merge_restore(variables["params"],
                                             loaded["params"])
                 bs = ckpt.merge_restore(variables["batch_stats"],

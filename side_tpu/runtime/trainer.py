@@ -191,6 +191,7 @@ class Trainer:
 
     def load(self, path: str, resume: bool = False) -> int:
         loaded = ckpt.load_checkpoint(path)
+        ckpt.warn_radius_mismatch(loaded)
         state = jax.device_get(self.state)
         merged = ckpt.merge_restore(state.params["model"], loaded["params"])
         bs = ckpt.merge_restore(state.batch_stats, loaded["batch_stats"]) \

@@ -144,3 +144,41 @@ def test_shape_tolerant_restore(tmp_path, capsys):
     trainer2.load(path)  # must not raise
     out = capsys.readouterr().out
     assert "Skip loading parameter" in out
+
+
+def test_checkpoint_radius_tag(tmp_path, capsys):
+    """Checkpoints stamp the active DCN offset bound and loading under a
+    different bound warns (the clamp is part of the trained function —
+    STATUS.md 'radius is a train/eval-time consistency contract')."""
+    import unittest.mock as um
+    from side_tpu.runtime import checkpoint as C
+    from side_tpu.ops import deform_conv as dc
+
+    path = str(tmp_path / "m.npz")
+    params = {"w": np.zeros((2, 2), np.float32)}
+    with um.patch.object(dc, "_DCN_MODE", "windowed"), \
+            um.patch.object(dc, "_DCN_RADIUS", 2):
+        C.save_checkpoint(path, 3, params, {})
+    loaded = C.load_checkpoint(path)
+    assert loaded["dcn_radius"] == 2
+
+    # same bound: silent
+    with um.patch.object(dc, "_DCN_MODE", "windowed"), \
+            um.patch.object(dc, "_DCN_RADIUS", 2):
+        C.warn_radius_mismatch(loaded)
+    assert "WARNING" not in capsys.readouterr().out
+
+    # different radius / exact mode: warn
+    with um.patch.object(dc, "_DCN_MODE", "windowed"), \
+            um.patch.object(dc, "_DCN_RADIUS", 1):
+        C.warn_radius_mismatch(loaded)
+    assert "checkpoint trained with DCN windowed R=2" in \
+        capsys.readouterr().out
+    with um.patch.object(dc, "_DCN_MODE", "exact"):
+        C.warn_radius_mismatch(loaded)
+    assert "running with exact (unbounded)" in capsys.readouterr().out
+
+    # legacy checkpoint without the tag: silent
+    loaded.pop("dcn_radius")
+    C.warn_radius_mismatch(loaded)
+    assert "WARNING" not in capsys.readouterr().out
