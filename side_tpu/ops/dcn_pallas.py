@@ -507,10 +507,12 @@ def _dcn_fwd(x, offset18, mask, weight, bias, radius):
 # backward implementation: "pallas" = fused Mosaic col2im/col2im_coord
 # kernels for the batch-packed layers (~85% of the DCN work; the XLA VJP
 # left the train step backward-bound), "xla" = autodiff of the windowed
-# decomposition for everything else
-# opt-in until its Mosaic compile time is fixed (did not finish in 30
-# min at the big DLA shape; numerics are parity-tested in interpret mode)
-_BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "xla")
+# decomposition for everything else.
+# Default flipped to pallas in round 3: after the d_coord separable-
+# triangle restructure (1.8x fewer VPU ops) the in-model compile finishes
+# and the measured train step drops 645 -> 527 ms/batch-2 (3.1 -> 3.8
+# pairs/s).  The round-2 compile blow-up was the pre-restructure kernel.
+_BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "pallas")
 
 
 def _dcn_bwd(radius, res, g):

@@ -228,8 +228,12 @@ def _pick_tile_bwd(H: int, W: int, CP: int, R: int, halo: int,
     per_row = (W + 2 * (R + 2)) * CP * 4
     # the Mosaic stack runs ~2.2x past this block+temp estimate (see
     # _vmem_request_margin), so pick tiles whose estimate keeps the
-    # request inside the 96M scope after that margin
-    budget = int(_fwd._VMEM_LIMIT / 2.2)
+    # request inside the 96M scope after that margin.  The further 0.92
+    # mirrors the forward picker's headroom: IN-MODEL stacks run a few %
+    # past the standalone ones (measured: d_coord at the big train shape
+    # fit standalone at tile 8 but needed 97.6M vs the 96M scope
+    # in-model; its estimate sat 1% under this budget before the 0.92)
+    budget = int(_fwd._VMEM_LIMIT / 2.2 * 0.92)
     for t in (8, 6, 4, 3, 2, 1):
         if H % t == 0 and \
                 (t + halo) * per_row * n_temps <= budget:

@@ -109,14 +109,18 @@ def main():
     os.makedirs(args.trace_dir, exist_ok=True)
     with jax.profiler.trace(args.trace_dir):
         _, state = run_n(args.steps, state)
+    print_xplane_ops(args.trace_dir)
 
-    # best-effort xplane parse for device op totals
+
+def print_xplane_ops(trace_dir, top=25, tag="train-profile"):
+    """Best-effort xplane parse for device op totals (shared with
+    tools/infer_profile.py)."""
     try:
         from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
         files = glob.glob(os.path.join(
-            args.trace_dir, "**", "*.xplane.pb"), recursive=True)
+            trace_dir, "**", "*.xplane.pb"), recursive=True)
         if not files:
-            print("[train-profile] no xplane captured", flush=True)
+            print(f"[{tag}] no xplane captured", flush=True)
             return
         data, _ = r2t.xspace_to_tool_data(files, "op_profile", {})
         import json
@@ -131,10 +135,10 @@ def main():
         out = []
         walk(prof.get("byProgram", prof), out)
         out.sort(key=lambda kv: -kv[1])
-        for name, t in out[:25]:
+        for name, t in out[:top]:
             print(f"  {t/1e9*1000:10.3f} ms  {name}", flush=True)
     except Exception as e:
-        print(f"[train-profile] xplane parse failed: {e}", flush=True)
+        print(f"[{tag}] xplane parse failed: {e}", flush=True)
 
 
 if __name__ == "__main__":
