@@ -19,3 +19,33 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_persistent_cache() -> None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The Mosaic DCN kernels take minutes to compile at the big DLA shapes
+    (the factored d_coord measured 349 s); with the cache every process
+    after the first reuses the compiled executables, so benches, tests and
+    training restarts skip straight to steady state.  Opt out with
+    SIDE_TPU_XLA_CACHE=0; relocate with SIDE_TPU_XLA_CACHE=<dir>."""
+    want = _os.environ.get("SIDE_TPU_XLA_CACHE", "1")
+    if want == "0":
+        return
+    if want == "1":
+        cache_dir = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".xla_cache")
+    else:
+        cache_dir = want
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass    # never let cache setup break an import
+
+
+_enable_persistent_cache()
