@@ -233,10 +233,20 @@ def deform_conv2d_windowed(x: jnp.ndarray, offset: jnp.ndarray,
 # deformable-conv implementation: "exact" = gather-based (bit-faithful to
 # the reference, unbounded offsets), "windowed" = XLA shift decomposition,
 # "pallas" = fused Mosaic kernel of the windowed form; the windowed forms
-# clamp offsets to +-SIDE_TPU_DCN_RADIUS (default 2).
+# clamp offsets to +-SIDE_TPU_DCN_RADIUS.
 # Production default on TPU is the Pallas kernel (the exact gather path
 # scalarises to ~215 ms/step on v5e — see the _GATHER_MODE table); on CPU
 # (tests, virtual meshes) Mosaic cannot lower, so default to exact.
+#
+# Default radius is 1 (round 3): the VPU shift work scales with
+# (2R+2)^2 so R=1 runs 36/16 = 2.25x less of it — measured in-model
+# 22.5 -> 32.4 infer pairs/s and 3.8 -> 5.3 train pairs/s on v5e — and
+# the fixture-overfit acceptance floors (2D IoU, z, PRE-ALIGN z_cv, ry)
+# all pass when trained under the R=1 clamp, with z errors [0.12, 0.30] m
+# vs the R=2 calibration's [2.50, 0.51] m.  Like R=2 it is a train/eval
+# consistency contract (stamped into checkpoints, see
+# runtime/checkpoint.dcn_radius_tag); reference-trained unbounded weights
+# must use SIDE_TPU_DCN=exact either way, so nothing is lost vs R=2.
 
 
 _DCN_MODE = _os.environ.get("SIDE_TPU_DCN")  # resolved lazily: backend
@@ -252,7 +262,7 @@ def _resolve_mode() -> str:
         except Exception:
             _DCN_MODE = "exact"
     return _DCN_MODE
-_DCN_RADIUS = int(_os.environ.get("SIDE_TPU_DCN_RADIUS", "2"))
+_DCN_RADIUS = int(_os.environ.get("SIDE_TPU_DCN_RADIUS", "1"))
 
 
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
