@@ -64,16 +64,24 @@ _PACK = _os.environ.get("SIDE_TPU_DCN_PACK", "1") == "1"
 # "reshape" is rejected by this Mosaic version, and "repeat" at tile 8
 # overflowed chip VMEM / at tile 4 ran 14% slower than matmul at tile 8)
 _EXPAND = _os.environ.get("SIDE_TPU_DCN_EXPAND", "matmul")
-# packed-kernel accumulation: "factored" exploits the separable triangle
-# weights (sum_sy wy * (sum_sx x*wx)) — the acc ref is touched once per
-# row shift instead of once per (row, col) term.  MEASURED AND REJECTED
-# as the default: at the dominant batch-2 eval shape the factored form
-# runs 5.00 ms vs rmw's 4.37 ms and compiles 2.2x slower (349 s vs
-# 155 s) — the row-sum value chain extends live ranges and spills, the
-# same pathology as the loop-carried value accumulator (29% slower in
-# round 2).  The identical restructuring DOES win 1.8x in the d_coord
-# backward, where it removes two of three CP-wide accumulator streams.
-_ACCUM = _os.environ.get("SIDE_TPU_DCN_ACCUM", "rmw")
+# kernel accumulation strategy:
+# "lerp" (default, round 3): bilinear sampling computed as a select-lerp —
+#   base = clip(floor(d), -R, R-1), frac = d - base, then one lerp between
+#   the two integer neighbours picked by a where-chain over the 2R bases.
+#   Identical function to the triangle sum (the triangle weight is nonzero
+#   on exactly those two neighbours) at (2R+1) + 2R-select work per axis
+#   instead of (2R+2)^2 weighted terms — ~2.5x fewer CP-wide VPU ops at
+#   R=1 — with NO accumulator ref and no fori_loop (static row slices).
+# "rmw": the round-2 per-term triangle pattern (acc ref updated per term).
+# "factored" exploits the separable triangle weights
+#   (sum_sy wy * (sum_sx x*wx)) — the acc ref is touched once per
+#   row shift instead of once per (row, col) term.  MEASURED AND REJECTED
+#   as a default at R=2: at the dominant batch-2 eval shape it ran 5.00 ms
+#   vs rmw's 4.37 ms and compiled 2.2x slower — the row-sum value chain
+#   extends live ranges and spills.  The identical restructuring DOES win
+#   1.8x in the d_coord backward, where it removes two of three CP-wide
+#   accumulator streams.
+_ACCUM = _os.environ.get("SIDE_TPU_DCN_ACCUM", "lerp")
 
 
 def _vmem_request(need_bytes: int) -> int:
@@ -130,6 +138,40 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
         dy = jnp.clip(offs[:, :, 2 * k:2 * k + 1][:, :, 0], -R, R)
         dx = jnp.clip(offs[:, :, 2 * k + 1:2 * k + 2][:, :, 0], -R, R)
         mk = masks[:, :, k:k + 1]
+
+        if _ACCUM == "lerp":
+            # select-lerp bilinear (see _ACCUM doc), per-image variant
+            by = jnp.clip(jnp.floor(dy), -R, R - 1)
+            tyf = (dy - by)[:, :, None]
+            bx = jnp.clip(jnp.floor(dx), -R, R - 1)
+            txf = (dx - bx)[:, :, None]
+            rows = []
+            for sy in range(-R, R + 1):
+                xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
+                lo = hi = None
+                for b0 in range(-R, R):
+                    c0 = PAD - 1 + tx + b0
+                    xb = xs[:, c0:c0 + W, :]
+                    xb1 = xs[:, c0 + 1:c0 + 1 + W, :]
+                    if lo is None:
+                        lo, hi = xb, xb1
+                    else:
+                        m = (bx == b0)[:, :, None]
+                        lo = jnp.where(m, xb, lo)
+                        hi = jnp.where(m, xb1, hi)
+                rows.append(lo + (hi - lo) * txf)
+            lo = hi = None
+            for i, b0 in enumerate(range(-R, R)):
+                if lo is None:
+                    lo, hi = rows[0], rows[1]
+                else:
+                    m = (by == b0)[:, :, None]
+                    lo = jnp.where(m, rows[i], lo)
+                    hi = jnp.where(m, rows[i + 1], hi)
+            val = lo + (hi - lo) * tyf
+            cols_ref[:, k * C:(k + 1) * C] = (val * mk).reshape(
+                tile_h * W, C).astype(cols_ref.dtype)
+            continue
 
         # triangle weights per axis, S of each (instead of S^2 pair products
         # recomputed from scratch)
@@ -264,6 +306,43 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
         dxE = _lane_expand(dx, C)
         mkE = _lane_expand(masks[:, :, k * P:(k + 1) * P], C)
 
+        if _ACCUM == "lerp":
+            # select-lerp bilinear (see _ACCUM doc): per axis, base =
+            # clip(floor(d), -R, R-1) and frac = d - base pick the two
+            # integer neighbours; a where-chain over the 2R bases selects
+            # them from static slices.  No accumulator ref, no fori_loop.
+            by = jnp.clip(jnp.floor(dyE), -R, R - 1)
+            tyf = dyE - by
+            bx = jnp.clip(jnp.floor(dxE), -R, R - 1)
+            txf = dxE - bx
+            rows = []
+            for sy in range(-R, R + 1):
+                xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
+                lo = hi = None
+                for b0 in range(-R, R):
+                    c0 = PAD - 1 + tx + b0
+                    xb = xs[:, c0:c0 + W, :]
+                    xb1 = xs[:, c0 + 1:c0 + 1 + W, :]
+                    if lo is None:
+                        lo, hi = xb, xb1
+                    else:
+                        m = bx == b0
+                        lo = jnp.where(m, xb, lo)
+                        hi = jnp.where(m, xb1, hi)
+                rows.append(lo + (hi - lo) * txf)
+            lo = hi = None
+            for i, b0 in enumerate(range(-R, R)):
+                if lo is None:
+                    lo, hi = rows[0], rows[1]
+                else:
+                    m = by == b0
+                    lo = jnp.where(m, rows[i], lo)
+                    hi = jnp.where(m, rows[i + 1], hi)
+            val = lo + (hi - lo) * tyf
+            cols_ref[:, k * CP:(k + 1) * CP] = (val * mkE).reshape(
+                tile_h * W, CP).astype(cols_ref.dtype)
+            continue
+
         wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dxE - s)) for s in
               range(-R, R + 2)]
 
@@ -323,8 +402,15 @@ def _packed_need(H, W, CP, B, Cout, R, PAD, itemsize, tile_h):
              + tile_h * W * CP * 4)                             # acc scratch
     # expanded off/mask + wy/wx; the opt-in factored accumulation carries
     # an extra CP-wide row-sum value stream (measured: its Mosaic stack at
-    # the CP=256 eval shape ran 57.2M vs the 4-stream estimate's 50.1M)
-    n_streams = 5 if _ACCUM == "factored" else 4
+    # the CP=256 eval shape ran 57.2M vs the 4-stream estimate's 50.1M).
+    # The lerp form holds the 2R+1 interpolated row values plus lo/hi/fracs
+    # live at once.
+    if _ACCUM == "lerp":
+        n_streams = 2 * R + 5
+    elif _ACCUM == "factored":
+        n_streams = 5
+    else:
+        n_streams = 4
     temps = n_streams * tile_h * W * CP * 4
     return exact + 2 * temps
 

@@ -82,7 +82,10 @@ def _dx_kernel(gp_ref, off_ref, mask_ref, wT_ref, dx_ref,
     Wp = W + 2 * G
     CP = P * C
     CoP = P * Cout
-    S = 2 * R + 2
+    # shifts -R..R only: the s = R+1 triangle term is identically zero for
+    # offsets clamped to [-R, R] (tri(d - (R+1)) needs d > R), so the
+    # (2R+2)^2 window shrinks to (2R+1)^2 — 16 -> 9 terms at R=1
+    S = 2 * R + 1
 
     g_halo = gp_ref[0]                             # (rows, Wp, CoP)
     offs = off_ref[0]                              # (rows, Wp, 18P) f32
@@ -110,7 +113,7 @@ def _dx_kernel(gp_ref, off_ref, mask_ref, wT_ref, dx_ref,
                 0.0, 1.0 - jnp.abs(dyE_ref[pl.ds(ro, tile_h)] - syf))
             vy = wyS * u_ref[pl.ds(ro, tile_h)]         # (tile_h, Wp, CP)
             dxS = dxE_ref[pl.ds(ro, tile_h)]
-            for sx in range(-R, R + 2):
+            for sx in range(-R, R + 1):
                 cx = G + 1 - tx - sx
                 wxS = jnp.maximum(
                     0.0, 1.0 - jnp.abs(dxS[:, cx:cx + W, :] - sx))
@@ -130,7 +133,7 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
     t = pl.program_id(1)
     CP = P * C
     CoP = P * Cout
-    S = 2 * R + 2
+    S = 2 * R + 1      # s = R+1 shifts are identically zero (see _dx_kernel)
 
     x32_ref[:] = x_ref[0].astype(jnp.float32)      # windowed x block
     g_tile = g_ref[0]                              # (tile_h, W, CoP)
@@ -154,11 +157,11 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
         mkE = _fwd._lane_expand(masks[:, :, k * P:(k + 1) * P], C)
 
         wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dxE - s)) for s in
-              range(-R, R + 2)]
+              range(-R, R + 1)]
         # d tri(t)/dt = -sign(t) on the open unit support (matches the
         # XLA VJP of max(0, 1-|t|) up to measure-zero ties)
         wxp = [jnp.where(jnp.abs(dxE - s) < 1.0, -jnp.sign(dxE - s), 0.0)
-               for s in range(-R, R + 2)]
+               for s in range(-R, R + 1)]
 
         acc_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
         ady_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
@@ -178,7 +181,7 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
             # than the naive col2im_coord expansion
             rs = jnp.zeros_like(acc_ref[:])
             rsx = jnp.zeros_like(rs)
-            for ix, sx in enumerate(range(-R, R + 2)):
+            for ix, sx in enumerate(range(-R, R + 1)):
                 cxs = PAD - 1 + tx + sx
                 xsw = xs[:, cxs:cxs + W, :]
                 rs = rs + xsw * wx[ix]

@@ -315,6 +315,39 @@ def test_pallas_packed_matches_unpacked():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_lerp_matches_rmw():
+    """The select-lerp bilinear formulation (production default: the two
+    nonzero triangle neighbours picked by base/frac instead of summing
+    every (2R+2)^2 triangle term, ~2.5x fewer VPU ops at R=1) equals the
+    per-term RMW triangle pattern in both kernels at R=1 and R=2,
+    including clamped out-of-window offsets."""
+    from side_tpu.ops import dcn_pallas as DP
+    import unittest.mock as um
+    rng = np.random.RandomState(16)
+    B, H, W, Cin, Cout = 2, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    # beyond +-2 to exercise clamping; includes exact integers via rounding
+    offset = jnp.asarray(np.round(
+        rng.uniform(-2.5, 2.5, (B, H, W, 9, 2)) * 4) / 4, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        for radius in (1, 2):
+            for pack in (False, True):
+                outs = {}
+                with um.patch.object(DP, "_PACK", pack):
+                    for accum in ("rmw", "lerp"):
+                        with um.patch.object(DP, "_ACCUM", accum):
+                            outs[accum] = np.asarray(DP.deform_conv2d_pallas(
+                                x, offset, mask, w, b, radius=radius))
+                np.testing.assert_allclose(
+                    outs["lerp"], outs["rmw"], rtol=1e-5, atol=1e-5,
+                    err_msg=f"radius={radius} pack={pack}")
+
+
 def test_pallas_packed_backward_matches_xla_vjp():
     """The fused Mosaic backward (col2im / col2im_coord analogues) equals
     jax.vjp of the XLA windowed decomposition for every cotangent,

@@ -37,7 +37,8 @@ def main():
     import __graft_entry__ as ge
     from train_profile import print_xplane_ops
 
-    fn, (variables, batch) = ge.entry()
+    fn_raw, (variables, batch) = ge.entry()
+    fn = jax.jit(fn_raw)   # entry() returns the fn un-jitted by contract
     batch = {k: jnp.concatenate([v] * args.batch, axis=0)
              for k, v in batch.items()}
 
