@@ -32,6 +32,7 @@ mode by tests/test_deform_conv.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import dcn_pallas as _fwd
+
+# d_offset/d_mask accumulation strategy (SIDE_TPU_DCN_BWD_ACCUM):
+# "lerp" (default, round 3): recompute the forward column exactly as the
+#   production lerp forward does (base = clip(floor(d), -R, R-1), frac =
+#   d - base, where-chain neighbour select) and read the offset gradients
+#   off the SAME lerp: d val/d dy = hi - lo of the y-lerp, d val/d dx =
+#   y-lerp of the per-row (hi - lo).  This is the exact a.e. derivative of
+#   the production forward, ~2.5x fewer CP-wide VPU ops than the triangle
+#   expansion, and — critically — NONZERO at integer offsets: the triangle
+#   form's tri'(t) = -sign(t)·[|t|<1] is identically zero at d == 0, which
+#   froze zero-initialised DCN offsets for the whole of training (the
+#   offset-producing conv's weights then never receive gradient).  The
+#   lerp form yields the right-derivative subgradient there, matching what
+#   autodiff of the lerp forward would produce.
+# "tri": the round-2 triangle expansion with separable tri' factoring
+#   (kept for bisection; zero gradient at integer offsets).
+_BWD_ACCUM = _os.environ.get("SIDE_TPU_DCN_BWD_ACCUM", "lerp")
 
 
 def _lane_reduce(v, P: int):
@@ -156,42 +174,90 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
         dxE = _fwd._lane_expand(dx, C)
         mkE = _fwd._lane_expand(masks[:, :, k * P:(k + 1) * P], C)
 
-        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dxE - s)) for s in
-              range(-R, R + 1)]
-        # d tri(t)/dt = -sign(t) on the open unit support (matches the
-        # XLA VJP of max(0, 1-|t|) up to measure-zero ties)
-        wxp = [jnp.where(jnp.abs(dxE - s) < 1.0, -jnp.sign(dxE - s), 0.0)
-               for s in range(-R, R + 1)]
+        if _BWD_ACCUM == "lerp":
+            # recompute the forward column via the production select-lerp
+            # (see _BWD_ACCUM / dcn_pallas._ACCUM) and read the offset
+            # gradients off the SAME lerp: per y-row, row_val = lo +
+            # (hi-lo)·fx and row_dx = hi - lo; the y-lerp of row_val is
+            # the column value, its selected (hi - lo) is d/d dy, and the
+            # y-lerp of row_dx is d/d dx.  Exact a.e. derivative of the
+            # production forward; no fori_loop, no accumulator streams.
+            by = jnp.clip(jnp.floor(dyE), -R, R - 1)
+            fy = dyE - by
+            bx = jnp.clip(jnp.floor(dxE), -R, R - 1)
+            fx = dxE - bx
+            row_val = []
+            row_dx = []
+            for sy in range(-R, R + 1):
+                xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
+                lo = hi = None
+                for b0 in range(-R, R):
+                    c0 = PAD - 1 + tx + b0
+                    xb = xs[:, c0:c0 + W, :]
+                    xb1 = xs[:, c0 + 1:c0 + 1 + W, :]
+                    if lo is None:
+                        lo, hi = xb, xb1
+                    else:
+                        m = bx == b0
+                        lo = jnp.where(m, xb, lo)
+                        hi = jnp.where(m, xb1, hi)
+                d = hi - lo
+                row_val.append(lo + d * fx)
+                row_dx.append(d)
+            vlo = vhi = dlo = dhi = None
+            for i, b0 in enumerate(range(-R, R)):
+                if vlo is None:
+                    vlo, vhi = row_val[0], row_val[1]
+                    dlo, dhi = row_dx[0], row_dx[1]
+                else:
+                    m = by == b0
+                    vlo = jnp.where(m, row_val[i], vlo)
+                    vhi = jnp.where(m, row_val[i + 1], vhi)
+                    dlo = jnp.where(m, row_dx[i], dlo)
+                    dhi = jnp.where(m, row_dx[i + 1], dhi)
+            ady_v = vhi - vlo
+            acc_ref[:] = vlo + ady_v * fy
+            ady_ref[:] = ady_v
+            adx_ref[:] = dlo + (dhi - dlo) * fy
+        else:
+            wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dxE - s)) for s in
+                  range(-R, R + 1)]
+            # d tri(t)/dt = -sign(t) on the open unit support (matches the
+            # XLA VJP of max(0, 1-|t|) up to measure-zero ties; identically
+            # ZERO at integer offsets — see _BWD_ACCUM)
+            wxp = [jnp.where(jnp.abs(dxE - s) < 1.0,
+                             -jnp.sign(dxE - s), 0.0)
+                   for s in range(-R, R + 1)]
 
-        acc_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
-        ady_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
-        adx_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+            acc_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+            ady_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
+            adx_ref[:] = jnp.zeros((tile_h, W, CP), jnp.float32)
 
-        def row_body(i, carry, ty=ty, tx=tx, dyE=dyE):
-            xs = x32_ref[pl.ds(ty + i, tile_h)]
-            syf = i.astype(jnp.float32) - R
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyE - syf))
-            wyp = jnp.where(jnp.abs(dyE - syf) < 1.0,
-                            -jnp.sign(dyE - syf), 0.0)
-            # separable factoring: the (i, j) triangle products split as
-            # acc = sum_i wy_i * (sum_j wx_j x_ij) etc., so the inner
-            # j-loop runs TWO accumulator streams (row sums rs / rsx)
-            # instead of three CP-wide streams per (i, j) term, and the
-            # wy*wx per-term product disappears — ~1.8x fewer VPU ops
-            # than the naive col2im_coord expansion
-            rs = jnp.zeros_like(acc_ref[:])
-            rsx = jnp.zeros_like(rs)
-            for ix, sx in enumerate(range(-R, R + 1)):
-                cxs = PAD - 1 + tx + sx
-                xsw = xs[:, cxs:cxs + W, :]
-                rs = rs + xsw * wx[ix]
-                rsx = rsx + xsw * wxp[ix]
-            acc_ref[:] = acc_ref[:] + wy * rs
-            ady_ref[:] = ady_ref[:] + wyp * rs
-            adx_ref[:] = adx_ref[:] + wy * rsx
-            return carry
+            def row_body(i, carry, ty=ty, tx=tx, dyE=dyE, wx=wx, wxp=wxp):
+                xs = x32_ref[pl.ds(ty + i, tile_h)]
+                syf = i.astype(jnp.float32) - R
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyE - syf))
+                wyp = jnp.where(jnp.abs(dyE - syf) < 1.0,
+                                -jnp.sign(dyE - syf), 0.0)
+                # separable factoring: the (i, j) triangle products split
+                # as acc = sum_i wy_i * (sum_j wx_j x_ij) etc., so the
+                # inner j-loop runs TWO accumulator streams (row sums
+                # rs / rsx) instead of three CP-wide streams per (i, j)
+                # term, and the wy*wx per-term product disappears — ~1.8x
+                # fewer VPU ops than the naive col2im_coord expansion
+                rs = jnp.zeros_like(acc_ref[:])
+                rsx = jnp.zeros_like(rs)
+                for ix, sx in enumerate(range(-R, R + 1)):
+                    cxs = PAD - 1 + tx + sx
+                    xsw = xs[:, cxs:cxs + W, :]
+                    rs = rs + xsw * wx[ix]
+                    rsx = rsx + xsw * wxp[ix]
+                acc_ref[:] = acc_ref[:] + wy * rs
+                ady_ref[:] = ady_ref[:] + wyp * rs
+                adx_ref[:] = adx_ref[:] + wy * rsx
+                return carry
 
-        jax.lax.fori_loop(0, S, row_body, 0)
+            jax.lax.fori_loop(0, S, row_body, 0)
 
         gm = gw_ref[:]
         dmask = _lane_reduce((acc_ref[:] * gm).reshape(tile_h * W, CP), P)

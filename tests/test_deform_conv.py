@@ -348,6 +348,45 @@ def test_pallas_lerp_matches_rmw():
                     err_msg=f"radius={radius} pack={pack}")
 
 
+def test_pallas_backward_nonzero_at_zero_offsets():
+    """Training-correctness regression: DCN offset convs are ZERO-initialised
+    (dla.py DeformBlock, matching dcn_v2.py:init_offset), so the very first
+    training step evaluates d_offset at offsets == 0 exactly.  The round-2
+    triangle backward's tri'(t) = -sign(t)*[|t|<1] is identically zero there,
+    which froze every packed DCN's offsets for the whole of training.  The
+    production lerp backward must (a) be nonzero at zero offsets and (b) equal
+    the right-derivative — the XLA windowed VJP evaluated just inside the
+    cell (offsets + eps, same linear piece), matching the reference CUDA
+    coordinate-weight semantics (dcn_v2_im2col_cuda.cu:70-99, which uses
+    floor/frac, i.e. the lerp derivative)."""
+    from side_tpu.ops import dcn_pallas as DP
+    from side_tpu.ops.dcn_pallas_bwd import dcn_packed_backward
+    from side_tpu.ops.deform_conv import deform_conv2d_windowed
+    import unittest.mock as um
+    rng = np.random.RandomState(17)
+    B, H, W, Cin, Cout = 2, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+    g = jnp.asarray(rng.randn(B, H, W, Cout), jnp.float32)
+    o0 = jnp.zeros((B, H, W, 18), jnp.float32)
+
+    with um.patch("side_tpu.ops.dcn_pallas_bwd.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        got = dcn_packed_backward(x, o0, mask, w, g, 1)
+    d_off = np.asarray(got[1])
+    assert np.abs(d_off).sum() > 1.0, "offset gradient dead at init"
+
+    eps = 1e-4
+    def f(o18):
+        return deform_conv2d_windowed(x, o18.reshape(B, H, W, 9, 2), mask,
+                                      w, None, radius=1)
+    _, vjp = jax.vjp(f, o0 + eps)
+    ref = np.asarray(vjp(g)[0])
+    # within one linear piece the offset gradient moves by O(eps * |x|)
+    np.testing.assert_allclose(d_off, ref, atol=5e-3)
+
+
 def test_pallas_packed_backward_matches_xla_vjp():
     """The fused Mosaic backward (col2im / col2im_coord analogues) equals
     jax.vjp of the XLA windowed decomposition for every cotangent,
