@@ -49,9 +49,9 @@ from . import dcn_pallas as _fwd
 #   y-lerp of the per-row (hi - lo).  This is the exact a.e. derivative of
 #   the production forward, ~2.5x fewer CP-wide VPU ops than the triangle
 #   expansion, and — critically — NONZERO at integer offsets: the triangle
-#   form's tri'(t) = -sign(t)·[|t|<1] is identically zero at d == 0, which
-#   froze zero-initialised DCN offsets for the whole of training (the
-#   offset-producing conv's weights then never receive gradient).  The
+#   form's tri'(t) = -sign(t)·[|t|<1] is identically zero at d == 0, so
+#   zero-initialised DCN offsets get no direct gradient at init (they only
+#   drift via the shared offset_mask conv's mask-channel gradients).  The
 #   lerp form yields the right-derivative subgradient there, matching what
 #   autodiff of the lerp forward would produce.
 # "tri": the round-2 triangle expansion with separable tri' factoring

@@ -353,7 +353,8 @@ def test_pallas_backward_nonzero_at_zero_offsets():
     (dla.py DeformBlock, matching dcn_v2.py:init_offset), so the very first
     training step evaluates d_offset at offsets == 0 exactly.  The round-2
     triangle backward's tri'(t) = -sign(t)*[|t|<1] is identically zero there,
-    which froze every packed DCN's offsets for the whole of training.  The
+    so offsets get no direct gradient at init (they drift only via the shared
+    offset_mask conv's mask-channel gradients).  The
     production lerp backward must (a) be nonzero at zero offsets and (b) equal
     the right-derivative — the XLA windowed VJP evaluated just inside the
     cell (offsets + eps, same linear piece), matching the reference CUDA
