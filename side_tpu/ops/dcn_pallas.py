@@ -84,6 +84,84 @@ _EXPAND = _os.environ.get("SIDE_TPU_DCN_EXPAND", "matmul")
 _ACCUM = _os.environ.get("SIDE_TPU_DCN_ACCUM", "lerp")
 
 
+# lane-pack strategy for the (B,H,W,L) <-> (1,H,W,L*B) relayouts around the
+# packed kernels (SIDE_TPU_DCN_PACK_VIA):
+# "transpose" (default): the plain XLA relayout.  The op-level trace labels
+#   these transposes "data formatting" at ~10% of HBM bandwidth (~47 ms
+#   nominal across a train step), which motivated the matmul form below —
+#   but an end-to-end A/B on the chip showed the attribution is misleading:
+#   XLA overlaps/fuses them well enough that replacing them buys nothing.
+# "matmul" (measured and rejected, round 3): compute the c-major lane
+#   interleave as MXU dots against constant 0/1 scatter matrices, making
+#   every read/write contiguous.  Bit-identical to the transpose (each
+#   output lane is 1.0 * exactly one input element; bf16 products are
+#   exact, f32 runs at HIGHEST precision) — but measured on v5e at the
+#   production shapes it was NEUTRAL for training (7.09 vs 7.03 pairs/s,
+#   within noise) and ~2% WORSE at inference (50.9 vs 51.9 pairs/s): the
+#   extra dots cost what the strided relayout saves.  Kept for bisection
+#   and as the recorded experiment.
+_PACK_VIA = _os.environ.get("SIDE_TPU_DCN_PACK_VIA", "transpose")
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_mats_np(B: int, L: int):
+    """0/1 scatter matrices for the c-major lane interleave (numpy; the
+    jnp constants are created per trace so no tracer escapes the cache).
+
+    E: (B, L, L*B) with E[b, l, lane] = 1 iff lane == l*B + b (pack);
+    D: (B, L*B, L), its per-b transpose (unpack)."""
+    lane = np.arange(L * B)
+    E = np.zeros((B, L, L * B), np.float32)
+    for b in range(B):
+        E[b, lane[lane % B == b] // B, lane[lane % B == b]] = 1.0
+    return E, np.swapaxes(E, 1, 2)
+
+
+def _pack_mats(B: int, L: int, dtype_name: str):
+    E, D = _pack_mats_np(B, L)
+    dt = jnp.dtype(dtype_name)
+    mdt = dt if dt == jnp.bfloat16 else jnp.float32
+    return jnp.asarray(E, mdt), jnp.asarray(D, mdt)
+
+
+def _pack_lanes(a):
+    """(B, H, W, L) -> (1, H, W, L*B), lane = l*B + b (c-major batch pack).
+
+    The optional matmul form (out[hw, :] = sum_b a[b, hw, :] @ E[b]) keeps
+    reads/writes contiguous but measured no faster than the transpose; see
+    the _PACK_VIA note above."""
+    B, H, W, L = a.shape
+    if _PACK_VIA != "matmul":
+        return a.transpose(1, 2, 3, 0).reshape(1, H, W, L * B)
+    E, _ = _pack_mats(B, L, a.dtype.name)
+    out = jax.lax.dot_general(
+        a.reshape(B, H * W, L), E,
+        dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(None if a.dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST))
+    return out.astype(a.dtype).reshape(1, H, W, L * B)
+
+
+def _unpack_lanes(aP, B: int, dtype=None):
+    """(1|-, H, W, L*B) -> (B, H, W, L): inverse of _pack_lanes."""
+    if aP.ndim == 4:
+        aP = aP[0]
+    H, W, LB = aP.shape
+    L = LB // B
+    dtype = dtype or aP.dtype
+    if _PACK_VIA != "matmul":
+        return aP.reshape(H, W, L, B).transpose(3, 0, 1, 2).astype(dtype)
+    _, D = _pack_mats(B, L, aP.dtype.name)
+    a2 = aP.reshape(H * W, LB)
+    prec = (None if aP.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST)
+    outs = [jax.lax.dot_general(
+        a2, D[b], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec).astype(dtype)
+        for b in range(B)]
+    return jnp.stack(outs).reshape(B, H, W, L)
+
+
 def _vmem_request(need_bytes: int) -> int:
     """Scoped-VMEM budget to request for one kernel: the estimated need
     plus margin, never the flat ceiling.  A flat 96M request starves XLA's
@@ -439,9 +517,9 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
         return None     # no tile fits VMEM; caller uses the unpacked path
 
     # batch -> lanes, c-major (lane = c*B + b) so _lane_expand is a tile
-    xP = x.transpose(1, 2, 3, 0).reshape(1, H, W, CP)
-    offP = offset18.transpose(1, 2, 3, 0).reshape(1, H, W, 18 * B)
-    maskP = mask.transpose(1, 2, 3, 0).reshape(1, H, W, 9 * B)
+    xP = _pack_lanes(x)
+    offP = _pack_lanes(offset18)
+    maskP = _pack_lanes(mask)
     # block-diagonal weights: rows ordered (tap, cin, b), cols (cout, b)
     wfull = weight.reshape(9, C, Cout).astype(jnp.float32)
     eyeB = jnp.eye(B, dtype=jnp.float32)
@@ -501,7 +579,7 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
             bytes_accessed=Hp * Wp * CP * x.dtype.itemsize,
             transcendentals=0),
     )(xp, offP, maskP, wBig, biasBig)
-    return out.reshape(H, W, Cout, B).transpose(3, 0, 1, 2)
+    return _unpack_lanes(out, B)
 
 
 def _pallas_forward(x, offset18, mask, weight, bias, radius: int):

@@ -335,10 +335,10 @@ def dcn_packed_backward(x, offset18, mask, weight, g, radius: int,
     itemsize = jnp.dtype(x.dtype).itemsize
 
     # shared packed operands (same layout as the forward)
-    xP = x.transpose(1, 2, 3, 0).reshape(1, H, W, CP)
-    gP = g.transpose(1, 2, 3, 0).reshape(1, H, W, CoP)
-    offP = offset18.transpose(1, 2, 3, 0).reshape(1, H, W, 18 * B)
-    maskP = mask.transpose(1, 2, 3, 0).reshape(1, H, W, 9 * B)
+    xP = _fwd._pack_lanes(x)
+    gP = _fwd._pack_lanes(g)
+    offP = _fwd._pack_lanes(offset18)
+    maskP = _fwd._pack_lanes(mask)
     wfull = weight.reshape(9, C, Cout).astype(jnp.float32)
     eyeB = jnp.eye(B, dtype=jnp.float32)
     # rows (cout, b) = g lanes, cols (cin, b) = x lanes, per tap
@@ -411,7 +411,7 @@ def _run_dx(x, gP, offP, maskP, wT, B, H, W, C, Cout, R, G, itemsize):
             bytes_accessed=T * rows * Wp * CoP * itemsize,
             transcendentals=0),
     )(gwin, owin, mwin, wT)
-    return dxP.reshape(H, W, C, B).transpose(3, 0, 1, 2)
+    return _fwd._unpack_lanes(dxP, B)
 
 
 def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout,
@@ -478,9 +478,8 @@ def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout,
     )(xwin, gP, offP, maskP, wT,
       jnp.einsum("kco,bd->kcbod", wfull, eyeB).reshape(9 * CP, CoP))
 
-    d_offset18 = doffP.reshape(H, W, 18, B).transpose(3, 0, 1, 2
-                                                      ).reshape(B, H, W, 18)
-    d_mask = dmaskP.reshape(H, W, 9, B).transpose(3, 0, 1, 2)
+    d_offset18 = _fwd._unpack_lanes(doffP, B)
+    d_mask = _fwd._unpack_lanes(dmaskP, B)
     # extract the block-diagonal (b == d) entries of dwBig and sum over b:
     # row lane (c, b) c-major = c*B + b, col lane (o, d) = o*B + d
     dwFull = dwBig.reshape(9, C, B, Cout, B)

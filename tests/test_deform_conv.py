@@ -315,6 +315,31 @@ def test_pallas_packed_matches_unpacked():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_matmul_lane_pack_roundtrip():
+    """The MXU 0/1-matmul lane pack/unpack (opt-in alternative for the
+    (B,H,W,L) <-> (1,H,W,L*B) relayouts; measured neutral-to-slower than
+    the default transpose on chip, kept for bisection) must be
+    bit-identical to the transpose form in both dtypes and invert
+    exactly."""
+    from side_tpu.ops import dcn_pallas as DP
+    import unittest.mock as um
+    rng = np.random.RandomState(21)
+    for B, L, dt in ((4, 16, jnp.float32), (4, 16, jnp.bfloat16),
+                     (2, 18, jnp.float32), (8, 8, jnp.bfloat16)):
+        a = jnp.asarray(rng.randn(B, 4, 8, L), dt)
+        with um.patch.object(DP, "_PACK_VIA", "matmul"):
+            packed = DP._pack_lanes(a)
+        with um.patch.object(DP, "_PACK_VIA", "transpose"):
+            ref = DP._pack_lanes(a)
+        assert packed.dtype == a.dtype and packed.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(packed, np.float32),
+                                      np.asarray(ref, np.float32))
+        with um.patch.object(DP, "_PACK_VIA", "matmul"):
+            back = DP._unpack_lanes(packed, B)
+        np.testing.assert_array_equal(np.asarray(back, np.float32),
+                                      np.asarray(a, np.float32))
+
+
 def test_pallas_lerp_matches_rmw():
     """The select-lerp bilinear formulation (production default: the two
     nonzero triangle neighbours picked by base/frac instead of summing

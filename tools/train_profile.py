@@ -116,13 +116,20 @@ def print_xplane_ops(trace_dir, top=25, tag="train-profile"):
     """Best-effort xplane parse for device op totals (shared with
     tools/infer_profile.py)."""
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
         files = glob.glob(os.path.join(
             trace_dir, "**", "*.xplane.pb"), recursive=True)
         if not files:
             print(f"[{tag}] no xplane captured", flush=True)
             return
-        data, _ = r2t.xspace_to_tool_data(files, "op_profile", {})
+        try:
+            from tensorboard_plugin_profile.convert import \
+                raw_to_tool_data as r2t
+            data, _ = r2t.xspace_to_tool_data(files, "op_profile", {})
+        except (ImportError, AttributeError):
+            # newer tf moved the converter to _pywrap_profiler_plugin
+            from tensorflow.python.profiler.internal import \
+                _pywrap_profiler_plugin as _pp
+            data, _ = _pp.xspace_to_tools_data(files, "op_profile", {})
         import json
         prof = json.loads(data)
 
