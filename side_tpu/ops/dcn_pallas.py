@@ -582,13 +582,38 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
     return _unpack_lanes(out, B)
 
 
+def _packed_group_size(B, C, H, W, Cout, R, PAD, itemsize):
+    """Largest divisor g of B (2 <= g <= B) whose lane-packed forward is
+    feasible at CP = g*C.  Batches too large to pack whole (e.g. B=8 at
+    C=64: CP=512 has no VMEM-feasible tile) are split into ceil(B/g)
+    groups that each reuse the production packed kernel at its proven
+    shapes instead of falling to the unpacked per-image kernel."""
+    for g in range(B, 1, -1):
+        if B % g or g * C > 1024:
+            continue
+        if _pick_tile_h_packed(H, W, g * C, g, Cout, R, PAD,
+                               itemsize) is not None:
+            return g
+    return None
+
+
 def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
     B, H, W, C = x.shape
-    if _PACK and B > 1 and C <= 128 and B * C <= 1024:
-        packed = _pallas_forward_packed(x, offset18, mask, weight, bias,
-                                        radius)
-        if packed is not None:
-            return packed
+    if _PACK and B > 1 and C <= 128:
+        g = _packed_group_size(B, C, H, W, weight.shape[-1], radius,
+                               1 + radius + 1, jnp.dtype(x.dtype).itemsize)
+        if g == B:
+            packed = _pallas_forward_packed(x, offset18, mask, weight, bias,
+                                            radius)
+            if packed is not None:
+                return packed
+        elif g is not None:
+            outs = [_pallas_forward_packed(x[i:i + g], offset18[i:i + g],
+                                           mask[i:i + g], weight, bias,
+                                           radius)
+                    for i in range(0, B, g)]
+            if all(o is not None for o in outs):
+                return jnp.concatenate(outs, axis=0)
     Cout = weight.shape[-1]
     R = radius
     PAD = 1 + R + 1
@@ -607,6 +632,11 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
     grid = (B, H // tile_h)
     win_rows = tile_h + 2 * R + 3
     itemsize = jnp.dtype(x.dtype).itemsize
+    # temp-stream count mirrors _packed_need: the lerp form keeps the
+    # 2R+1 interpolated row values plus lo/hi/fracs live at once, and
+    # Mosaic's actual stack runs ~2x past a naive block+scratch estimate
+    # (B=8/C=64 bf16 measured 78.4M actual vs a 26.6M 7-stream estimate)
+    n_streams = (2 * R + 5) if _ACCUM == "lerp" else 4
     vmem_req = _vmem_request(
         2 * Hp * Wp * C * itemsize                            # x block x2
         + 9 * C * Cout * 4 + Cout * 4                         # weights
@@ -614,7 +644,7 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
         + 2 * tile_h * W * Cout * itemsize                    # out x2
         + win_rows * Wp * C * 4                               # win scratch
         + tile_h * W * 9 * C * itemsize                       # cols
-        + 7 * tile_h * W * C * 4)                             # acc + temps
+        + (1 + 2 * n_streams) * tile_h * W * C * 4)           # acc + temps
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -682,10 +712,24 @@ _BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "pallas")
 def _dcn_bwd(radius, res, g):
     x, offset18, mask, weight, bias = res
     B, H, W, C = x.shape
-    if _BWD == "pallas" and _PACK and B > 1 and C <= 128 and B * C <= 512:
+    if _BWD == "pallas" and _PACK and B > 1 and C <= 128:
         from .dcn_pallas_bwd import dcn_packed_backward, packed_backward_fits
-        if packed_backward_fits(H, W, B, C, radius):
+        gs = next((n for n in range(min(B, 512 // C), 1, -1)
+                   if B % n == 0 and packed_backward_fits(H, W, n, C,
+                                                          radius)), None)
+        if gs == B:
             return dcn_packed_backward(x, offset18, mask, weight, g, radius)
+        if gs is not None:
+            # sub-batch groups (see _packed_group_size): per-sample
+            # cotangents concatenate, weight/bias cotangents sum
+            parts = [dcn_packed_backward(x[i:i + gs], offset18[i:i + gs],
+                                         mask[i:i + gs], weight,
+                                         g[i:i + gs], radius)
+                     for i in range(0, B, gs)]
+            d_x, d_off, d_mask, d_w, d_b = zip(*parts)
+            return (jnp.concatenate(d_x, 0), jnp.concatenate(d_off, 0),
+                    jnp.concatenate(d_mask, 0),
+                    sum(d_w[1:], d_w[0]), sum(d_b[1:], d_b[0]))
     # fall back to the mathematically identical XLA windowed path
     _, vjp = jax.vjp(
         lambda *a: _xla_equivalent(*a, radius), x, offset18, mask, weight,

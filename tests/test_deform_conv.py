@@ -447,3 +447,65 @@ def test_pallas_packed_backward_matches_xla_vjp():
     for name, a, r in zip(names, got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_packed_batch_grouping_matches_windowed():
+    """When the whole batch cannot lane-pack (e.g. B=8 at C=64: CP=512 has
+    no VMEM-feasible tile — the shape that OOM'd scoped vmem on chip at
+    bench batch 4), the dispatch splits into the largest feasible
+    sub-batch groups and reuses the packed kernels per group.  Forward
+    value and every cotangent must match the XLA windowed reference, and
+    the grouped path must actually engage."""
+    from side_tpu.ops import dcn_pallas as DP
+    from side_tpu.ops import dcn_pallas_bwd as DB
+    from side_tpu.ops.deform_conv import deform_conv2d_windowed
+    import unittest.mock as um
+    rng = np.random.RandomState(33)
+    B, H, W, Cin, Cout = 4, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    offset = jnp.asarray(rng.uniform(-1.5, 1.5, (B, H, W, 9, 2)),
+                         jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+    g = jnp.asarray(rng.randn(B, H, W, Cout), jnp.float32)
+
+    # force infeasibility at the full batch so groups of 2 are chosen
+    orig_pick = DP._pick_tile_h_packed
+    def pick(H_, W_, CP, B_, *a):
+        return None if B_ > 2 else orig_pick(H_, W_, CP, B_, *a)
+    orig_fits = DB.packed_backward_fits
+    def fits(H_, W_, B_, C_, R_):
+        return B_ <= 2 and orig_fits(H_, W_, B_, C_, R_)
+    calls = []
+    orig_fwd_packed = DP._pallas_forward_packed
+    def fwd_packed(x_, *a):
+        calls.append(x_.shape[0])
+        return orig_fwd_packed(x_, *a)
+
+    def f(x, off, m, w, b):
+        return deform_conv2d_windowed(x, off, m, w, b, radius=1)
+    ref_out, vjp = jax.vjp(f, x, offset, mask, w, b)
+    ref = vjp(g)
+
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)), \
+         um.patch("side_tpu.ops.dcn_pallas_bwd.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)), \
+         um.patch.object(DP, "_PACK", True), \
+         um.patch.object(DP, "_BWD", "pallas"), \
+         um.patch.object(DP, "_pick_tile_h_packed", pick), \
+         um.patch.object(DP, "_pallas_forward_packed", fwd_packed), \
+         um.patch.object(DB, "packed_backward_fits", fits):
+        def fp(x, off, m, w, b):
+            return DP.deform_conv2d_pallas(x, off, m, w, b, radius=1)
+        out, vjp_p = jax.vjp(fp, x, offset, mask, w, b)
+        got = vjp_p(g)
+
+    assert calls == [2, 2], f"grouped fwd path did not engage: {calls}"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-4)
+    names = ["d_x", "d_offset", "d_mask", "d_weight", "d_bias"]
+    for name, a, r in zip(names, got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
