@@ -128,6 +128,11 @@ class Config:
     # inference 3D-CNN runs on the top cv_topk score-ordered slots only,
     # disparity fallback beyond (0 = all K slots; see StereoNet.cv_topk)
     cv_topk: int = 32
+    # fused inference tail runs dense alignment on the top align_topk
+    # score-ordered slots only (0 = all K slots); slots beyond keep their
+    # solved (un-aligned) depth — in practice they sit below peak_thresh
+    # and are filtered out downstream (see postprocess/device_tail.py)
+    align_topk: int = 32
     max_objs: int = MAX_OBJS
     # use gradient checkpointing on the backbone
     remat: bool = False
@@ -272,6 +277,7 @@ class Config:
         p.add_argument("--compute_dtype", default="bfloat16")
         p.add_argument("--remat", action="store_true")
         p.add_argument("--cv_topk", type=int, default=32)
+        p.add_argument("--align_topk", type=int, default=32)
         p.add_argument("--depth_variant", default="cost_volume",
                        choices=["cost_volume", "voxel"])
         p.add_argument("--eval_oracle_hm", action="store_true")
@@ -316,7 +322,7 @@ class Config:
             coordinator_address=a.coordinator_address,
             num_processes=a.num_processes, process_id=a.process_id,
             compute_dtype=a.compute_dtype, remat=a.remat,
-            cv_topk=a.cv_topk,
+            cv_topk=a.cv_topk, align_topk=a.align_topk,
             depth_variant=a.depth_variant,
             eval_oracle_hm=a.eval_oracle_hm, eval_oracle_wh=a.eval_oracle_wh,
             eval_oracle_offset=a.eval_oracle_offset,

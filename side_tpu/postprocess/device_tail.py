@@ -35,9 +35,11 @@ def _affine_pts(pts: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
     return pts @ A[:, :2].T + A[:, 2]
 
 
-@partial(jax.jit, static_argnames=("grid", "run_align", "cost_volume"))
+@partial(jax.jit,
+         static_argnames=("grid", "run_align", "cost_volume", "align_topk"))
 def _tail(dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
-          mean, std, *, grid: int, run_align: bool, cost_volume: bool):
+          mean, std, *, grid: int, run_align: bool, cost_volume: bool,
+          align_topk: int = 0):
     """dets/dets_r: (K, 6); info: (K, 9|10); img_*: (H, W, 3) uint8.
 
     calib_pack: [f, bl, cx, cy, x_shift, y_shift, z_shift,
@@ -113,13 +115,22 @@ def _tail(dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
         im_r2 = jax.image.resize(norm_r[None], (1, H * 2, W * 2, 3),
                                  method="bilinear")[0]
         scale = 2.0
-        keep = scores > 0.0  # real thresh applied host-side; align all slots
+        keep = scores > 0.0  # real thresh applied host-side
         poses = jnp.stack([x + x_shift, y + y_shift, z_out + z_shift,
                            dim[:, 1], dim[:, 0], dim[:, 2],
                            theta + math.pi / 2], axis=1)
-        status, best_dis = DA.align_depths(
+        # Dense alignment is the tail's dominant cost (70 photometric
+        # enumerations x P pixels per slot); decode slots are score-ordered
+        # (lax.top_k), so align only the top align_topk — beyond it a slot
+        # keeps its solved depth, exactly the status=0 fallback, and is in
+        # practice below peak_thresh anyway (mirrors StereoNet.cv_topk).
+        K = dets.shape[0]
+        A = K if align_topk <= 0 else min(align_topk, K)
+        status_a, best_dis_a = DA.align_depths(
             im_l2, im_r2, f * scale, bl, cx * scale, cy * scale,
-            box_left * scale, kpts[:, :2] * scale, poses, keep)
+            box_left[:A] * scale, kpts[:A, :2] * scale, poses[:A], keep[:A])
+        status = jnp.pad(status_a, (0, K - A))
+        best_dis = jnp.pad(best_dis_a, (0, K - A), constant_values=1.0)
         z_aligned = f * bl / jnp.maximum(best_dis, 1e-3)
         states2 = BS.solve_x_y_theta(consts, z_aligned)
         ok2 = (status > 0) & jnp.isfinite(states2).all(axis=1)
@@ -167,7 +178,7 @@ def run_tail(dets, dets_r, info, img_left_u8, img_right_u8, meta: Dict,
                  jnp.asarray(img_right_u8),
                  jnp.asarray(trans_inv_out), jnp.asarray(pack), mean, std,
                  grid=cfg.grid, run_align=run_align,
-                 cost_volume=cfg.cost_volume)
+                 cost_volume=cfg.cost_volume, align_topk=cfg.align_topk)
 
 
 def bucket_results(rows: np.ndarray, classes: np.ndarray, scores: np.ndarray,

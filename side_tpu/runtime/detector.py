@@ -56,9 +56,21 @@ class Detector:
         self.std = np.asarray(cfg.std, np.float32).reshape(1, 1, 3)
 
         cost_volume = cfg.cost_volume
+        mean_c = self.mean
+        std_c = self.std
+
+        def _norm(x):
+            # host pre_process ships warped uint8 (4x smaller H2D than f32);
+            # normalisation runs on device where it fuses into the first conv
+            if x.dtype == jnp.uint8:
+                return (x.astype(jnp.float32) / 255.0 - mean_c) / std_c
+            return x
 
         @jax.jit
         def _process(variables, batch):
+            batch = dict(batch)
+            batch["input"] = _norm(batch["input"])
+            batch["input_right"] = _norm(batch["input_right"])
             out = self.model.apply(variables, batch,
                                    use_cost_volume=cost_volume,
                                    target=None, train=False)
@@ -86,8 +98,7 @@ class Detector:
         def prep(im):
             from ..data.dataset import warp_affine
             x = warp_affine(im, trans, cfg.input_w, cfg.input_h)
-            x = (x.astype(np.float32) / 255.0 - self.mean) / self.std
-            return x[None]  # NHWC
+            return x[None]  # NHWC uint8; normalised on device in _process
 
         trans_out = G.get_affine_transform(
             c, s, 0, [cfg.output_w, cfg.output_h])

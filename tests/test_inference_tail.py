@@ -267,3 +267,37 @@ def test_device_tail_matches_host_tail():
                 np.testing.assert_allclose(
                     got_rows, want_rows, atol=2e-2,
                     err_msg=f"cls {cls} run_align={run_align}")
+
+def test_device_tail_align_topk_cap():
+    """align_topk: the top score-ordered slots get the SAME aligned rows as
+    the uncapped program; slots beyond the cap keep their solved
+    (un-aligned) values — the status=0 fallback."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from side_tpu.postprocess.device_tail import run_tail
+
+    cfg = Config()
+    objs = [{"type": "Car", "dim": list(DIM_HWL),
+             "location": [c[0], c[1], c[2]], "rotation_y": c[3],
+             "color": [200, 80, 60]} for c in CARS[:3]]
+    _, p2, p3 = _meta(cfg)
+    img_l = _render(objs, p2, np.random.RandomState(3))
+    img_r = _render(objs, p3, np.random.RandomState(3))
+    dets, dets_r, info, meta = _make_decode_outputs(
+        cfg, CARS[:3], depth_fn=lambda zz: zz + 1.5)
+
+    def tail(cfg_i, run_align=True):
+        rows, _ = run_tail(jnp.asarray(dets), jnp.asarray(dets_r),
+                           jnp.asarray(info), img_l, img_r, meta, cfg_i,
+                           run_align=run_align)
+        return np.asarray(rows)
+
+    rows_full = tail(dataclasses.replace(cfg, align_topk=0))
+    rows_cap = tail(dataclasses.replace(cfg, align_topk=2))
+    rows_noalign = tail(cfg, run_align=False)
+
+    np.testing.assert_allclose(rows_cap[:2], rows_full[:2], atol=1e-4)
+    np.testing.assert_allclose(rows_cap[2], rows_noalign[2], atol=1e-4)
+    # and alignment actually changed the 3rd slot in the full program
+    assert abs(rows_full[2, 10] - rows_noalign[2, 10]) > 0.2
