@@ -154,13 +154,26 @@ def main():
         "vs_baseline": round(pairs_per_sec / baseline_img_per_sec, 3),
     }
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        # Run the train bench in a SUBPROCESS: the TPU relay's compile
+        # helper accumulates memory across compiles within one session and
+        # gets OOM-killed on the big fwd+bwd program after the two infer
+        # scan compiles above; a fresh process gets a fresh helper.
         try:
-            result["train_pairs_per_sec_per_chip"] = round(
-                _bench_train(batch_size), 3)
+            import subprocess
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--train-only",
+                 str(batch_size)],
+                capture_output=True, text=True, timeout=2400)
+            sys.stderr.write(proc.stderr)
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+            result["train_pairs_per_sec_per_chip"] = round(float(line), 3)
         except Exception as e:  # train bench is auxiliary: never lose infer
             print(f"[bench-train] failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--train-only":
+        print(_bench_train(int(sys.argv[2]) if len(sys.argv) > 2 else 2))
+    else:
+        main()
