@@ -357,8 +357,8 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
     (C-MAJOR: lane = c*P + b), so C<=128 layers still fill the 128-lane
     VPU.  Measured on v5e at the DLA shapes: C=64 runs at 0.26 TFLOP/s
     unpacked vs 0.92 packed (see tools/dcn_layer_bench.py proxies).
-    C-major makes the per-image offset/mask lane expansion a pure
-    block-tile (pltpu.repeat) instead of a matmul.  The weight matrix is
+    C-major keeps the per-image offset/mask lane expansion contiguous
+    (see _lane_expand; matmul strategy by default).  The weight matrix is
     block-diagonal over the batch so the MXU contraction cannot mix
     images (P**2 x more weight FLOPs, still <1 ms total)."""
     t = pl.program_id(1)
