@@ -62,9 +62,12 @@ def _bench_train(batch_size: int) -> float:
     hm[:, 0, Ho // 2, Wo // 2] = 1.0
     ind = np.full((B, K), (Ho // 2) * Wo + Wo // 2, np.int64)
     batch = {
-        "input": rng.randn(B, cfg.input_h, cfg.input_w, 3).astype(np.float32),
-        "input_right": rng.randn(B, cfg.input_h, cfg.input_w,
-                                 3).astype(np.float32),
+        # production transport: warped uint8, normalised on device
+        # (cfg.uint8_images; trainer.normalize_images)
+        "input": rng.randint(0, 256, (B, cfg.input_h, cfg.input_w, 3)
+                             ).astype(np.uint8),
+        "input_right": rng.randint(0, 256, (B, cfg.input_h, cfg.input_w, 3)
+                                   ).astype(np.uint8),
         "hm": hm, "ind": ind, "ind_float": ind.astype(np.float32),
         "rot_mask": np.ones((B, K), np.uint8),
         "wh": np.full((B, K, 3), 12.0, np.float32),

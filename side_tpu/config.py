@@ -98,6 +98,14 @@ class Config:
     peak_thresh: float = 0.2
     uncert: bool = False
     cost_volume: bool = True
+    # ship training images to the device as warped uint8 and normalise on
+    # device (TPU-native: 4x smaller H2D + host collate, normalisation
+    # fuses into the first conv — same trick the Detector uses at
+    # inference).  Bit-equivalent to host normalisation for un-augmented
+    # samples (the reference also warps in uint8, stereoDataset.py:109-128);
+    # color-augmented samples re-quantise to uint8 (<=0.5/255 noise on an
+    # already-random augmentation).  False = reference-style host float32.
+    uint8_images: bool = True
     wh_scale: float = 1.0
 
     # heads

@@ -127,9 +127,18 @@ class StereoKitti:
 
         def prep(im):
             x = warp_affine(im, trans_input, cfg.input_w, cfg.input_h)
+            do_aug = (self.split == "train" and not cfg.no_color_aug
+                      and rng.random_sample() < cfg.aug_ddd)
+            if cfg.uint8_images:
+                # keep the warped uint8; normalisation runs on device
+                # (trainer.normalize_images), fused into the first conv
+                if do_aug:
+                    xf = x.astype(np.float32) / 255.0
+                    G.color_aug(self._data_rng, xf, _EIG_VAL, _EIG_VEC)
+                    x = np.clip(xf * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                return x
             x = x.astype(np.float32) / 255.0
-            if (self.split == "train" and not cfg.no_color_aug
-                    and rng.random_sample() < cfg.aug_ddd):
+            if do_aug:
                 G.color_aug(self._data_rng, x, _EIG_VAL, _EIG_VEC)
             return (x - self.mean) / self.std  # NHWC stays HWC
 
@@ -162,12 +171,29 @@ class StereoKitti:
         return ret
 
 
-def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    """Stack a list of samples into a batch; 'meta' stays a list."""
-    out: Dict[str, object] = {}
+def collate(samples: List[Dict[str, np.ndarray]],
+            out: Optional[Dict[str, np.ndarray]] = None
+            ) -> Dict[str, np.ndarray]:
+    """Stack a list of samples into a batch; 'meta' stays a list.
+
+    `out` is an optional buffer dict from a previous collate of the same
+    batch shape: stacking writes into it in place instead of allocating
+    ~200 MB of fresh pages per batch-16 (first-touch page faults measured
+    at ~55 MB/s on the bench VM — 6x the actual stack cost; see
+    tools/loader_bench.py).  Callers reusing buffers must be done with the
+    previous batch contents (the Loader's ring discipline)."""
+    if out is None:
+        out = {}
     for k in samples[0]:
         if k == "meta":
             out[k] = [s[k] for s in samples]
+            continue
+        parts = [np.asarray(s[k]) for s in samples]
+        buf = out.get(k)
+        if (isinstance(buf, np.ndarray)
+                and buf.shape == (len(parts),) + parts[0].shape
+                and buf.dtype == parts[0].dtype):
+            np.stack(parts, out=buf)
         else:
-            out[k] = np.stack([np.asarray(s[k]) for s in samples])
+            out[k] = np.stack(parts)
     return out

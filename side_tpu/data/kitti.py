@@ -155,40 +155,67 @@ def _project_object(obj: KittiObject, calib: Calib, im_shape=None) -> None:
     obj.boxes = tuple(boxes)
 
 
+def _paint_depth_line(depth_line: np.ndarray, lo: int, hi: int,
+                      z: float) -> None:
+    """One object's contribution to the depth line, vectorised over its
+    column span (exact semantics of the per-column loop at
+    stereo_utils.py:69-76: empty columns take z, nearer objects average)."""
+    seg = depth_line[lo:hi]
+    depth_line[lo:hi] = np.where(
+        seg == 0.0, z, np.where(z < seg, (z + seg) / 2.0, seg))
+
+
+def _visible_span(depth_line: np.ndarray, lo: int, hi: int, z: float):
+    """Visible [left, right] border scan, vectorised (stereo_utils.py:90-118).
+
+    The reference walks columns left->right keeping the LAST column where
+    `left_visible and depth >= z` as the right border and the last where
+    (elif) `right_visible and depth < z` as the left border.  Because the
+    elif's guard `depth < z` already excludes the first branch, the two
+    reduce to independent last-index scans.  Returns (vl, vr, lv, rv) with
+    None for borders the reference loop would leave untouched."""
+    seg = depth_line[lo:hi + 1]
+    lv = bool(depth_line[lo] >= z)
+    rv = bool(depth_line[hi] >= z)
+    vl = vr = None
+    if lv:
+        nz = np.flatnonzero(seg >= z)
+        if nz.size:
+            vr = lo + int(nz[-1])
+    if rv:
+        nz = np.flatnonzero(seg < z)
+        if nz.size:
+            vl = lo + int(nz[-1])
+    return vl, vr, lv, rv
+
+
 def _occlusion_sweep(objects: List[KittiObject], view: int) -> None:
     """Per-column depth-line occlusion reasoning (stereo_utils.py:64-120).
 
     Builds a 1260-column line of the nearest (averaged) object depth, then
     derives each object's visible [left, right] border and invalidates
-    keypoints of fully occluded objects.
+    keypoints of fully occluded objects.  Vectorised over columns (the
+    reference's per-column Python loops held the data-loader GIL; parity
+    with the loop form is asserted in tests/test_kitti_data.py).
     """
     depth_line = np.zeros(1260, np.float64)
     for obj in objects:
         b = obj.boxes[view].box
-        lo, hi = int(b[0]), int(b[2]) + 1
-        for col in range(lo, hi):
-            px = depth_line[col]
-            if px == 0.0:
-                depth_line[col] = obj.pos[2]
-            elif obj.pos[2] < px:
-                depth_line[col] = (obj.pos[2] + px) / 2.0
+        _paint_depth_line(depth_line, int(b[0]), int(b[2]) + 1, obj.pos[2])
 
     for obj in objects:
         bx = obj.boxes[view]
         bx.visible_left = bx.box[0]
         bx.visible_right = bx.box[2]
-        left_visible = depth_line[int(bx.box[0])] >= obj.pos[2]
-        right_visible = depth_line[int(bx.box[2])] >= obj.pos[2]
-
-        if not left_visible and not right_visible:
+        vl, vr, lv, rv = _visible_span(depth_line, int(bx.box[0]),
+                                       int(bx.box[2]), obj.pos[2])
+        if not lv and not rv:
             bx.visible_right = bx.box[0]
             bx.keypoints[:] = -1
-
-        for col in range(int(bx.box[0]), int(bx.box[2]) + 1):
-            if left_visible and depth_line[col] >= obj.pos[2]:
-                bx.visible_right = col
-            elif right_visible and depth_line[col] < obj.pos[2]:
-                bx.visible_left = col
+        if vr is not None:
+            bx.visible_right = vr
+        if vl is not None:
+            bx.visible_left = vl
 
 
 def read_objects(anns: List[dict], calib_list: Sequence, used_cls: Sequence[str],
@@ -227,25 +254,21 @@ def infer_boundary(im_shape, boxes_left: np.ndarray) -> np.ndarray:
     depth_line = np.zeros(1280, np.float64)
     pseudo_depth = 1050.0 / boxes_left[:, 3]
     for i in range(n):
-        for col in range(int(boxes_left[i, 0]), int(boxes_left[i, 2]) + 1):
-            px = depth_line[col]
-            if px == 0.0:
-                depth_line[col] = pseudo_depth[i]
-            elif pseudo_depth[i] < px:
-                depth_line[col] = (pseudo_depth[i] + px) / 2.0
+        _paint_depth_line(depth_line, int(boxes_left[i, 0]),
+                          int(boxes_left[i, 2]) + 1, pseudo_depth[i])
 
     for i in range(n):
         left_right[i, 0] = boxes_left[i, 0]
         left_right[i, 1] = boxes_left[i, 2]
-        left_visible = depth_line[int(boxes_left[i, 0])] >= pseudo_depth[i]
-        right_visible = depth_line[int(boxes_left[i, 2])] >= pseudo_depth[i]
-        if not left_visible and not right_visible:
+        vl, vr, lv, rv = _visible_span(depth_line, int(boxes_left[i, 0]),
+                                       int(boxes_left[i, 2]),
+                                       pseudo_depth[i])
+        if not lv and not rv:
             left_right[i, 1] = boxes_left[i, 0]
-        for col in range(int(boxes_left[i, 0]), int(boxes_left[i, 2]) + 1):
-            if left_visible and depth_line[col] >= pseudo_depth[i]:
-                left_right[i, 1] = col
-            elif right_visible and depth_line[col] < pseudo_depth[i]:
-                left_right[i, 0] = col
+        if vr is not None:
+            left_right[i, 1] = vr
+        if vl is not None:
+            left_right[i, 0] = vl
     return left_right
 
 

@@ -30,6 +30,11 @@ class Loader:
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.keep_meta = keep_meta
+        # ring of reusable batch buffers, persistent ACROSS epochs (the
+        # trainer re-iterates the same Loader every epoch): prefetch queued
+        # + 1 in-flight in the producer + 1 held by the consumer.
+        self._ring = [dict() for _ in range(prefetch + 2)]
+        self._ring_i = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -53,7 +58,14 @@ class Loader:
 
         def make_batch(batch_idx):
             samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-            batch = collate(samples)
+            # reuse a ring buffer (see __init__).  Contract: a yielded
+            # batch is overwritten after `prefetch + 1` further batches are
+            # consumed (trainer/detector copy to device immediately, so
+            # this never bites; deep-copy if you must keep one).  Avoids
+            # fresh first-touch pages per batch — see collate's docstring.
+            buf = self._ring[self._ring_i % len(self._ring)]
+            self._ring_i += 1
+            batch = collate(samples, out=buf)
             if not self.keep_meta:
                 batch.pop("meta", None)
             return batch

@@ -83,6 +83,29 @@ _EXPAND = _os.environ.get("SIDE_TPU_DCN_EXPAND", "matmul")
 #   accumulator streams.
 _ACCUM = _os.environ.get("SIDE_TPU_DCN_ACCUM", "lerp")
 
+# lerp compute dtype (SIDE_TPU_DCN_LERP_DT):
+# "f32" (default): everything cast to f32 in the kernel.
+# "auto" (MEASURED AND REJECTED, round 4): the select-lerp runs in the
+#   ACTIVATION dtype — window scratch, neighbour selects, interpolation and
+#   mask multiply all stay bf16 when the model runs bf16 (offsets/fracs
+#   still derive in f32).  The hoped-for win (half the VMEM streams) does
+#   NOT materialise on v5e: the VPU executes bf16 elementwise at the same
+#   rate as f32 and Mosaic's bf16 (16,128)-tile pack/unpack relayouts cost
+#   more than the bandwidth saved.  Measured at R=1 on the chip
+#   (tools/dcn_layer_bench.py, 50 iters): big_b2 1.287 -> 1.676 ms,
+#   mid_b2 0.768 -> 0.772, small_b2 0.171 -> 0.133, big 2.533 -> 2.973,
+#   mid 1.645 -> 1.916 — a net LOSS at the dominant shapes (modeled
+#   in-model total 29.1 -> 34.3 ms); only the deep C=256 shape improved.
+#   Kept as an env opt-in for bisection.
+_LERP_DT = _os.environ.get("SIDE_TPU_DCN_LERP_DT", "f32")
+
+
+def _compute_dtype(x_dtype):
+    """Kernel-internal window/compute dtype for the lerp accumulation."""
+    if _ACCUM == "lerp" and _LERP_DT == "auto":
+        return jnp.dtype(x_dtype)
+    return jnp.dtype(jnp.float32)
+
 
 # lane-pack strategy for the (B,H,W,L) <-> (1,H,W,L*B) relayouts around the
 # packed kernels (SIDE_TPU_DCN_PACK_VIA):
@@ -207,8 +230,9 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
     # padded rows [row0 + PAD-1-R, ... + tile_h + 2R + 3) cover every
     # (tap ty, shift sy) slice of this row-tile
     win_rows = tile_h + 2 * R + 3
+    cdt = x32_ref.dtype
     x32_ref[:] = x_ref[0, pl.ds(row0 + PAD - 1 - R, win_rows), :, :
-                       ].astype(jnp.float32)
+                       ].astype(cdt)
 
     for k in range(9):
         ty, tx = k // 3, k % 3
@@ -218,11 +242,13 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
         mk = masks[:, :, k:k + 1]
 
         if _ACCUM == "lerp":
-            # select-lerp bilinear (see _ACCUM doc), per-image variant
+            # select-lerp bilinear (see _ACCUM doc), per-image variant.
+            # bases/fracs derive in f32; only the frac multiplier is cast
+            # to the compute dtype (see _LERP_DT).
             by = jnp.clip(jnp.floor(dy), -R, R - 1)
-            tyf = (dy - by)[:, :, None]
+            tyf = (dy - by)[:, :, None].astype(cdt)
             bx = jnp.clip(jnp.floor(dx), -R, R - 1)
-            txf = (dx - bx)[:, :, None]
+            txf = (dx - bx)[:, :, None].astype(cdt)
             rows = []
             for sy in range(-R, R + 1):
                 xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
@@ -247,7 +273,7 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                     lo = jnp.where(m, rows[i], lo)
                     hi = jnp.where(m, rows[i + 1], hi)
             val = lo + (hi - lo) * tyf
-            cols_ref[:, k * C:(k + 1) * C] = (val * mk).reshape(
+            cols_ref[:, k * C:(k + 1) * C] = (val * mk.astype(cdt)).reshape(
                 tile_h * W, C).astype(cols_ref.dtype)
             continue
 
@@ -370,8 +396,9 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
     CP = P * C
 
     win_rows = tile_h + 2 * R + 3
+    cdt = x32_ref.dtype
     x32_ref[:] = x_ref[0, pl.ds(row0 + PAD - 1 - R, win_rows), :, :
-                       ].astype(jnp.float32)
+                       ].astype(cdt)
 
     for k in range(9):
         ty, tx = k // 3, k % 3
@@ -389,10 +416,12 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
             # clip(floor(d), -R, R-1) and frac = d - base pick the two
             # integer neighbours; a where-chain over the 2R bases selects
             # them from static slices.  No accumulator ref, no fori_loop.
+            # Bases/fracs derive in f32; fracs cast to the compute dtype
+            # so the CP-wide streams run bf16 in a bf16 model (_LERP_DT).
             by = jnp.clip(jnp.floor(dyE), -R, R - 1)
-            tyf = dyE - by
+            tyf = (dyE - by).astype(cdt)
             bx = jnp.clip(jnp.floor(dxE), -R, R - 1)
-            txf = dxE - bx
+            txf = (dxE - bx).astype(cdt)
             rows = []
             for sy in range(-R, R + 1):
                 xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
@@ -417,7 +446,8 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                     lo = jnp.where(m, rows[i], lo)
                     hi = jnp.where(m, rows[i + 1], hi)
             val = lo + (hi - lo) * tyf
-            cols_ref[:, k * CP:(k + 1) * CP] = (val * mkE).reshape(
+            cols_ref[:, k * CP:(k + 1) * CP] = (
+                val * mkE.astype(cdt)).reshape(
                 tile_h * W, CP).astype(cols_ref.dtype)
             continue
 
@@ -471,25 +501,28 @@ def _packed_need(H, W, CP, B, Cout, R, PAD, itemsize, tile_h):
     vmem_limit request, so the two can never disagree at the clamp
     (batch-4 OOM'd by <1M when they did)."""
     win_rows = tile_h + 2 * R + 3
+    # lerp-auto computes in the activation dtype: the window scratch and
+    # every CP-wide temp stream shrink to the activation itemsize
+    cdt_size = itemsize if (_ACCUM == "lerp" and _LERP_DT == "auto") else 4
     exact = (2 * (H + 2 * PAD) * (W + 2 * PAD) * CP * itemsize  # x block x2
              + 9 * CP * B * Cout * 4 + B * Cout * 4             # weights
              + 2 * tile_h * W * 27 * B * 4                      # off+mask x2
              + 2 * tile_h * W * B * Cout * itemsize             # out x2
-             + win_rows * (W + 2 * PAD) * CP * 4                # win scratch
+             + win_rows * (W + 2 * PAD) * CP * cdt_size         # win scratch
              + tile_h * W * 9 * CP * itemsize                   # cols
              + tile_h * W * CP * 4)                             # acc scratch
     # expanded off/mask + wy/wx; the opt-in factored accumulation carries
     # an extra CP-wide row-sum value stream (measured: its Mosaic stack at
     # the CP=256 eval shape ran 57.2M vs the 4-stream estimate's 50.1M).
     # The lerp form holds the 2R+1 interpolated row values plus lo/hi/fracs
-    # live at once.
+    # live at once.  The f32 lane-expanded offsets/fracs stay f32 even in
+    # lerp-auto, so charge half the streams at f32.
     if _ACCUM == "lerp":
         n_streams = 2 * R + 5
-    elif _ACCUM == "factored":
-        n_streams = 5
+        temps = n_streams * tile_h * W * CP * (cdt_size + 4) // 2
     else:
-        n_streams = 4
-    temps = n_streams * tile_h * W * CP * 4
+        n_streams = 5 if _ACCUM == "factored" else 4
+        temps = n_streams * tile_h * W * CP * 4
     return exact + 2 * temps
 
 
@@ -567,7 +600,8 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
                                lambda b, t: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, H, W, B * Cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((win_rows, Wp, CP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((win_rows, Wp, CP),
+                                   _compute_dtype(x.dtype)),
                         pltpu.VMEM((tile_h * W, 9 * CP), x.dtype),
                         pltpu.VMEM((tile_h, W, CP), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -637,12 +671,13 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
     # Mosaic's actual stack runs ~2x past a naive block+scratch estimate
     # (B=8/C=64 bf16 measured 78.4M actual vs a 26.6M 7-stream estimate)
     n_streams = (2 * R + 5) if _ACCUM == "lerp" else 4
+    cdt_size = jnp.dtype(_compute_dtype(x.dtype)).itemsize
     vmem_req = _vmem_request(
         2 * Hp * Wp * C * itemsize                            # x block x2
         + 9 * C * Cout * 4 + Cout * 4                         # weights
         + 2 * tile_h * W * 27 * 4                             # off+mask x2
         + 2 * tile_h * W * Cout * itemsize                    # out x2
-        + win_rows * Wp * C * 4                               # win scratch
+        + win_rows * Wp * C * cdt_size                        # win scratch
         + tile_h * W * 9 * C * itemsize                       # cols
         + (1 + 2 * n_streams) * tile_h * W * C * 4)           # acc + temps
     return pl.pallas_call(
@@ -666,7 +701,8 @@ def _pallas_forward(x, offset18, mask, weight, bias, radius: int):
                                lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((win_rows, Wp, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((win_rows, Wp, C),
+                                   _compute_dtype(x.dtype)),
                         pltpu.VMEM((tile_h * W, 9 * C), x.dtype),
                         pltpu.VMEM((tile_h, W, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(

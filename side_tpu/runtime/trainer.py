@@ -41,6 +41,18 @@ BATCH_KEYS = ("input", "input_right", "hm", "wh", "reg", "dim", "orien",
               "p2", "p3", "trans", "trans_inv")
 
 
+def normalize_images(batch, mean, std):
+    """On-device normalisation of uint8-transported images (cfg.uint8_images):
+    (x/255 - mean)/std in f32, fused by XLA into the first conv.  float
+    inputs pass through (already normalised on host)."""
+    out = dict(batch)
+    for k in ("input", "input_right"):
+        x = out.get(k)
+        if x is not None and x.dtype == jnp.uint8:
+            out[k] = (x.astype(jnp.float32) / 255.0 - mean) / std
+    return out
+
+
 class Trainer:
     def __init__(self, cfg: Config, model, variables, steps_per_epoch: int,
                  mesh=None):
@@ -79,6 +91,8 @@ class Trainer:
     def _loss_fn(self, params, batch_stats, batch, train: bool,
                  step=None):
         cfg = self.cfg
+        batch = normalize_images(batch, jnp.asarray(cfg.mean, jnp.float32),
+                                 jnp.asarray(cfg.std, jnp.float32))
         target = boxes_from_targets(batch["ind_float"], batch["wh"],
                                     batch["reg"], cfg.output_w, cfg.wh_scale)
         variables = {"params": params["model"], "batch_stats": batch_stats}

@@ -86,8 +86,12 @@ def test_flip_train_doubles_and_mirrors(fixture_root):
     assert len(ds) == 8
     s0 = ds[0]
     s4 = ds[4]  # flipped twin of sample 0
-    # flipped left input is the mirrored right image (up to 1px warp shift)
-    diff = np.abs(s4["input"][:, 2:-2] - s0["input_right"][:, ::-1][:, 2:-2])
+    # flipped left input is the mirrored right image (up to 1px warp shift);
+    # inputs are uint8 (device-normalised) — compare in normalised units
+    def norm(x):
+        return (x.astype(np.float32) / 255.0 - np.float32(0.5)) / 0.28
+    diff = np.abs(norm(s4["input"][:, 2:-2]) -
+                  norm(s0["input_right"][:, ::-1][:, 2:-2]))
     assert np.median(diff) < 0.08
     assert s0["rot_mask"].sum() == s4["rot_mask"].sum()
     n = int(s0["rot_mask"].sum())

@@ -126,3 +126,23 @@ def test_draw_dense_reg_offset_mode_subtracts_delta():
     assert regmap[0, 8, 9] == pytest.approx(0.25 - 1)
     assert regmap[1, 9, 8] == pytest.approx(0.75 - 1)
     assert regmap[0, 8, 8] == pytest.approx(0.25)
+
+
+def test_color_aug_cv2_matches_numpy():
+    """The cv2 fast path of color_aug must match the reference numpy math
+    bit-closely with the identical rng draw sequence (image.py:198-230)."""
+    import numpy as np
+    from side_tpu.data import geometry as G
+    from side_tpu.data.dataset import _EIG_VAL, _EIG_VEC
+    if G._cv2 is None:
+        import pytest
+        pytest.skip("cv2 unavailable")
+    rng = np.random.RandomState(42)
+    base = rng.rand(96, 160, 3).astype(np.float32)
+    for seed in range(8):
+        a = base.copy()
+        b = base.copy()
+        G.color_aug(np.random.RandomState(seed), a, _EIG_VAL, _EIG_VEC)
+        G._color_aug_numpy(np.random.RandomState(seed), b, _EIG_VAL,
+                           _EIG_VEC)
+        np.testing.assert_allclose(a, b, atol=2e-6)

@@ -140,3 +140,83 @@ def test_compute_kept_label_all_invisible():
     out = T.compute_kept_label(kept, wh, grid)
     # everything clamps to class 0
     assert np.all(out == 0)
+
+
+def _sweep_loop(boxes, depths, width=1260):
+    """Straight transliteration of the reference per-column loops
+    (stereo_utils.py:64-120) — the oracle for the vectorised sweep."""
+    n = len(depths)
+    depth_line = np.zeros(width, np.float64)
+    for i in range(n):
+        for col in range(int(boxes[i, 0]), int(boxes[i, 2]) + 1):
+            px = depth_line[col]
+            if px == 0.0:
+                depth_line[col] = depths[i]
+            elif depths[i] < px:
+                depth_line[col] = (depths[i] + px) / 2.0
+    out = np.zeros((n, 3), np.float64)   # vl, vr, fully_occluded
+    for i in range(n):
+        vl, vr = boxes[i, 0], boxes[i, 2]
+        left_visible = depth_line[int(boxes[i, 0])] >= depths[i]
+        right_visible = depth_line[int(boxes[i, 2])] >= depths[i]
+        occluded = not left_visible and not right_visible
+        if occluded:
+            vr = boxes[i, 0]
+        for col in range(int(boxes[i, 0]), int(boxes[i, 2]) + 1):
+            if left_visible and depth_line[col] >= depths[i]:
+                vr = col
+            elif right_visible and depth_line[col] < depths[i]:
+                vl = col
+        out[i] = [vl, vr, occluded]
+    return depth_line, out
+
+
+def test_vectorised_sweep_matches_loop():
+    """The vectorised depth-line paint + border scan must reproduce the
+    reference's per-column loops exactly, over randomized overlapping
+    layouts (including nested, chained, and duplicate-depth overlaps)."""
+    rng = np.random.RandomState(0)
+    for trial in range(200):
+        n = rng.randint(1, 9)
+        x1 = rng.uniform(0, 1100, n)
+        w = rng.uniform(3, 400, n)
+        boxes = np.stack([x1, np.zeros(n), np.minimum(x1 + w, 1259),
+                          np.full(n, 80.0)], axis=1)
+        depths = rng.uniform(4, 70, n)
+        if trial % 3 == 0:          # force exact-duplicate depths
+            depths[:] = depths[0]
+
+        ref_line, ref_out = _sweep_loop(boxes, depths)
+        line = np.zeros(1260, np.float64)
+        for i in range(n):
+            K._paint_depth_line(line, int(boxes[i, 0]),
+                                int(boxes[i, 2]) + 1, depths[i])
+        np.testing.assert_array_equal(line, ref_line)
+        for i in range(n):
+            vl, vr, lv, rv = K._visible_span(line, int(boxes[i, 0]),
+                                             int(boxes[i, 2]), depths[i])
+            evl = vl if vl is not None else boxes[i, 0]
+            occ = not lv and not rv
+            evr = vr if vr is not None else \
+                (boxes[i, 0] if occ else boxes[i, 2])
+            assert occ == bool(ref_out[i, 2])
+            assert evl == ref_out[i, 0], (trial, i)
+            assert evr == ref_out[i, 1], (trial, i)
+
+
+def test_infer_boundary_matches_loop():
+    """infer_boundary (vectorised) vs the reference loop semantics
+    (stereo_utils.py:461-500) on random box layouts."""
+    rng = np.random.RandomState(1)
+    for _ in range(100):
+        n = rng.randint(1, 8)
+        x1 = rng.uniform(0, 1100, n)
+        w = rng.uniform(5, 300, n)
+        h = rng.uniform(20, 300, n)
+        boxes = np.stack([x1, np.zeros(n), np.minimum(x1 + w, 1279), h],
+                         axis=1).astype(np.float32)
+        got = K.infer_boundary((384, 1280), boxes)
+        _, ref = _sweep_loop(boxes, (1050.0 / boxes[:, 3]).astype(np.float64),
+                             width=1280)
+        np.testing.assert_allclose(got[:, 0], ref[:, 0])
+        np.testing.assert_allclose(got[:, 1], ref[:, 1])

@@ -515,7 +515,12 @@ def test_dataset_target_parity(ref, fixture_root):
         want = theirs[ref_idx]
         got = ours[id_to_idx[img_id]]
 
-        np.testing.assert_allclose(got["input"].transpose(2, 0, 1),
+        # ours ships warped uint8 (device-normalised); apply the same
+        # normalisation here — bit-equivalent for un-augmented samples
+        got_inp = ((got["input"].astype(np.float32) / 255.0 - ours.mean)
+                   / ours.std) if got["input"].dtype == np.uint8 \
+            else got["input"]
+        np.testing.assert_allclose(got_inp.transpose(2, 0, 1),
                                    want["input"], atol=1e-5)
         np.testing.assert_allclose(got["hm"], want["hm"], atol=1e-6)
         for key in ("wh", "reg", "dim", "orien", "depth", "kept",

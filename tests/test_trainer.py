@@ -125,6 +125,91 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
+class _TinyStereoStub(__import__("flax").linen.Module):
+    """Minimal model with StereoNet's apply contract (same head outputs,
+    BatchNorm batch_stats, dropout rng tolerated) so the DP-invariance
+    property of the REAL Trainer/loss/sharding path tests fast on CPU."""
+    grid: int = 28
+    max_objs: int = K
+
+    @__import__("flax").linen.compact
+    def __call__(self, batch, use_cost_volume=True, target=None,
+                 train=False):
+        import flax.linen as nn
+        x = jnp.concatenate([batch["input"], batch["input_right"]], axis=-1)
+        # no bias: a bias feeding straight into BN has an exactly-zero
+        # gradient, whose residual cancellation noise differs by reduction
+        # order across meshes and would force loose tolerances
+        x = nn.Conv(8, (3, 3), strides=(4, 4), use_bias=False)(x)
+        # BN: the DP property that actually bites — batch stats must be
+        # computed over the GLOBAL batch on any mesh (sync-BN semantics)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        heads = {"hm": 3, "wh": 3, "reg": 3, "dim": 3, "orien": 2,
+                 "kept_type": 6 * self.grid}
+        out = {h: nn.Conv(c, (1, 1))(x) for h, c in heads.items()}
+        pooled = x.mean(axis=(1, 2))                      # (B, 8)
+        d = nn.Dense(1)(pooled)                           # (B, 1)
+        out["depth"] = jnp.broadcast_to(d[:, None, :],
+                                        (x.shape[0], self.max_objs, 1))
+        return out
+
+
+def test_dp_invariance_1dev_vs_8dev():
+    """Same global batch + init => identical loss and gradients on a
+    1-device and an 8-device mesh (reference gradient-summation semantics,
+    data_parallel.py:64-84: chunked DataParallel must be a pure batch
+    split).  Exercises the real Trainer._loss_fn + shard_batch path."""
+    cfg = _cfg(uncert=True)
+    model = _TinyStereoStub(grid=cfg.grid)
+    B = 8
+    rng = np.random.RandomState(7)
+    batch_np = _fake_batch(rng, B=B)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           {k: jnp.asarray(v) for k, v in batch_np.items()},
+                           train=True)
+
+    results = {}
+    for ndev in (1, 8):
+        from side_tpu.parallel.mesh import shard_batch
+        mesh = make_mesh(ndev)
+        trainer = Trainer(cfg, model, dict(variables), steps_per_epoch=4,
+                          mesh=mesh)
+        batch = shard_batch(dict(batch_np), mesh)
+        state = trainer.state
+
+        def loss_fn(p):
+            return trainer._loss_fn(p, state.batch_stats, batch, True,
+                                    step=state.step)
+        (loss, (stats, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        results[ndev] = (float(loss),
+                         jax.device_get(stats),
+                         jax.device_get(grads),
+                         jax.device_get(new_bs))
+
+    l1, s1, g1, bs1 = results[1]
+    l8, s8, g8, bs8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s8[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for (p1, x1), (p8, x8) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g8)):
+        assert p1 == p8
+        scale = max(1e-3, float(np.abs(np.asarray(x1)).max()))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
+                                   atol=5e-5 * scale,
+                                   err_msg=jax.tree_util.keystr(p1))
+    # sync-BN: the updated batch stats must also match (global-batch mean)
+    for (_, x1), (_, x8) in zip(
+            jax.tree_util.tree_leaves_with_path(bs1),
+            jax.tree_util.tree_leaves_with_path(bs8)):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_shape_tolerant_restore(tmp_path, capsys):
     """Back-filling mismatched heads (model.py:51-63 semantics)."""
     cfg = _cfg()
