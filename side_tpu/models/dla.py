@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.deform_conv import deform_conv2d
+from ..ops.deform_conv import deform_conv2d_om
 
 # torch BN defaults used by the reference (momentum 0.1 -> flax 0.9)
 BN_MOMENTUM = 0.9
@@ -228,30 +228,42 @@ class BilinearUp(nn.Module):
         return out.astype(x.dtype)
 
 
+class _OffsetMaskParams(nn.Module):
+    """Parameter holder for the 27-channel offset/mask conv.
+
+    Same leaf names (offset_mask/kernel, offset_mask/bias) as the nn.Conv
+    it replaces — checkpoints and the reference weight converter are
+    unaffected.  Exposing the raw parameters lets the inference path fuse
+    the conv into the packed Pallas DCN program
+    (ops/deform_conv.deform_conv2d_om)."""
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.zeros,
+                       (3, 3, self.cin, 27), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (27,), jnp.float32)
+        return k, b
+
+
 class DeformBlock(nn.Module):
     """DCNv2 3x3 + BN + ReLU (feature_extraction_dla34.py:345-357).
 
     The offset/mask conv is zero-initialised so the block starts as a plain
-    conv with 0.5 modulation (dcn_v2.py:105-116)."""
+    conv with 0.5 modulation (dcn_v2.py:105-116).  Channel order of the 27
+    outputs: per-tap interleaved [dy_k, dx_k, mask_logit_k]."""
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, H, W, Cin = x.shape
-        om = nn.Conv(27, (3, 3), padding=1,
-                     kernel_init=nn.initializers.zeros,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="offset_mask")(x)
-        om = om.reshape(B, H, W, 9, 3)
-        offset = om[..., 0:2].astype(jnp.float32)
-        mask = jax.nn.sigmoid(om[..., 2].astype(jnp.float32))
-
+        w_om, b_om = _OffsetMaskParams(Cin, name="offset_mask")()
         w = self.param("kernel", conv_init, (3, 3, Cin, self.features),
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        y = deform_conv2d(x, offset, mask, w, b)
+        y = deform_conv2d_om(x, w_om, b_om, w, b, train=train)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=jnp.float32)(y)
         return nn.relu(y).astype(x.dtype)

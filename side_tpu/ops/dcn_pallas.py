@@ -249,6 +249,9 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
             tyf = (dy - by)[:, :, None].astype(cdt)
             bx = jnp.clip(jnp.floor(dx), -R, R - 1)
             txf = (dx - bx)[:, :, None].astype(cdt)
+            # x-base select masks hoisted out of the row loop (see the
+            # packed kernel)
+            mx = {b0: (bx == b0)[:, :, None] for b0 in range(-R + 1, R)}
             rows = []
             for sy in range(-R, R + 1):
                 xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
@@ -260,9 +263,8 @@ def _dcn_kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                     if lo is None:
                         lo, hi = xb, xb1
                     else:
-                        m = (bx == b0)[:, :, None]
-                        lo = jnp.where(m, xb, lo)
-                        hi = jnp.where(m, xb1, hi)
+                        lo = jnp.where(mx[b0], xb, lo)
+                        hi = jnp.where(mx[b0], xb1, hi)
                 rows.append(lo + (hi - lo) * txf)
             lo = hi = None
             for i, b0 in enumerate(range(-R, R)):
@@ -378,7 +380,8 @@ def _lane_expand(v, C: int):
 
 def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                        x32_ref, cols_ref, acc_ref, *,
-                       H, W, C, Cout, P, tile_h, R, PAD):
+                       H, W, C, Cout, P, tile_h, R, PAD,
+                       om_layout: bool = False):
     """Batch-packed variant: the image batch lives in the LANE dimension
     (C-MAJOR: lane = c*P + b), so C<=128 layers still fill the 128-lane
     VPU.  Measured on v5e at the DLA shapes: C=64 runs at 0.26 TFLOP/s
@@ -386,12 +389,18 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
     C-major keeps the per-image offset/mask lane expansion contiguous
     (see _lane_expand; matmul strategy by default).  The weight matrix is
     block-diagonal over the batch so the MXU contraction cannot mix
-    images (P**2 x more weight FLOPs, still <1 ms total)."""
+    images (P**2 x more weight FLOPs, still <1 ms total).
+
+    om_layout=True (fused offset-conv path, _pallas_forward_packed_fused):
+    off_ref carries the RAW offset-mask conv output in our per-tap
+    interleaved channel order (lane = (3k+j)*P + b, j = dy/dx/mask-logit;
+    models/dla.py DeformBlock reshape) and mask_ref is unused — the mask
+    sigmoid runs here on the P-wide logits before lane expansion."""
     t = pl.program_id(1)
     row0 = t * tile_h
 
-    offs = off_ref[0]                    # (tile_h, W, 18*P) f32, comp-major
-    masks = mask_ref[0]                  # (tile_h, W, 9*P) f32
+    offs = off_ref[0]                    # (tile_h, W, 18*P|27*P) f32
+    masks = None if om_layout else mask_ref[0]   # (tile_h, W, 9*P) f32
     S = 2 * R + 2
     CP = P * C
 
@@ -402,14 +411,23 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
 
     for k in range(9):
         ty, tx = k // 3, k % 3
-        dy = jnp.clip(offs[:, :, 2 * k * P:(2 * k + 1) * P], -R, R)
-        dx = jnp.clip(offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P], -R, R)
+        if om_layout:
+            dy = jnp.clip(offs[:, :, 3 * k * P:(3 * k + 1) * P], -R, R)
+            dx = jnp.clip(offs[:, :, (3 * k + 1) * P:(3 * k + 2) * P],
+                          -R, R)
+            mk = jax.nn.sigmoid(offs[:, :, (3 * k + 2) * P:
+                                     (3 * k + 3) * P])
+        else:
+            dy = jnp.clip(offs[:, :, 2 * k * P:(2 * k + 1) * P], -R, R)
+            dx = jnp.clip(offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P],
+                          -R, R)
+            mk = masks[:, :, k * P:(k + 1) * P]
         # pre-expand per tap (27 expansions/tile).  Expanding only the
         # per-TERM product (324 expansions) uses less VMEM but its Mosaic
         # compile never finished; per-tap is the workable middle.
         dyE = _lane_expand(dy, C)                       # (tile_h, W, P*C)
         dxE = _lane_expand(dx, C)
-        mkE = _lane_expand(masks[:, :, k * P:(k + 1) * P], C)
+        mkE = _lane_expand(mk, C)
 
         if _ACCUM == "lerp":
             # select-lerp bilinear (see _ACCUM doc): per axis, base =
@@ -422,6 +440,10 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
             tyf = (dyE - by).astype(cdt)
             bx = jnp.clip(jnp.floor(dxE), -R, R - 1)
             txf = (dxE - bx).astype(cdt)
+            # the x-base select masks are row-invariant: compute them once
+            # per tap instead of once per (row, base) — 2R CP-wide compares
+            # saved per row at R>=1
+            mx = {b0: bx == b0 for b0 in range(-R + 1, R)}
             rows = []
             for sy in range(-R, R + 1):
                 xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
@@ -433,9 +455,8 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
                     if lo is None:
                         lo, hi = xb, xb1
                     else:
-                        m = bx == b0
-                        lo = jnp.where(m, xb, lo)
-                        hi = jnp.where(m, xb1, hi)
+                        lo = jnp.where(mx[b0], xb, lo)
+                        hi = jnp.where(mx[b0], xb1, hi)
                 rows.append(lo + (hi - lo) * txf)
             lo = hi = None
             for i, b0 in enumerate(range(-R, R)):
@@ -614,6 +635,182 @@ def _pallas_forward_packed(x, offset18, mask, weight, bias, radius: int):
             transcendentals=0),
     )(xp, offP, maskP, wBig, biasBig)
     return _unpack_lanes(out, B)
+
+
+def _dcn_kernel_packed_om(x_ref, om_ref, w_ref, b_ref, out_ref,
+                          x32_ref, cols_ref, acc_ref, **kw):
+    """Packed kernel entry for the fused offset-conv layout (one om input
+    instead of separate offsets + mask; see _dcn_kernel_packed)."""
+    _dcn_kernel_packed(x_ref, om_ref, None, w_ref, b_ref, out_ref,
+                       x32_ref, cols_ref, acc_ref, om_layout=True, **kw)
+
+
+def _om_conv_packed(xP, w_om, b_om, B: int):
+    """Offset-mask conv evaluated directly on the LANE-PACKED input.
+
+    The 27-channel offset/mask conv is MXU-hostile unpacked (Cout=27 fills
+    27/128 lanes) and its output then needs its own pack relayout.  On the
+    packed layout it becomes one conv with a block-diagonal kernel
+    (3, 3, C*B, 27*B) — bigger MXU tiles, offsets born in kernel layout,
+    no relayout.  Same math as models/dla.py's offset_mask nn.Conv (the
+    block-diagonal zeros contribute exactly 0)."""
+    C = w_om.shape[2]
+    eyeB = jnp.eye(B, dtype=jnp.float32)
+    kBig = jnp.einsum("hwco,bd->hwcbod", w_om.astype(jnp.float32),
+                      eyeB).reshape(3, 3, C * B, 27 * B)
+    om = jax.lax.conv_general_dilated(
+        xP, kBig.astype(xP.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    om = om + jnp.repeat(b_om, B).astype(om.dtype)
+    return om.astype(jnp.float32)
+
+
+def _pallas_forward_packed_fused(x, w_om, b_om, weight, bias, radius: int):
+    """Packed forward with the offset-mask conv fused into the program:
+    same kernel body, but the off/mask operands are replaced by the raw
+    packed om conv output (27B lanes, per-tap interleaved; the mask
+    sigmoid runs in-kernel)."""
+    B, H, W, C = x.shape
+    Cout = weight.shape[-1]
+    R = radius
+    PAD = 1 + R + 1
+    CP = B * C
+    itemsize_ = jnp.dtype(x.dtype).itemsize
+    tile_h = _pick_tile_h_packed(H, W, CP, B, Cout, R, PAD, itemsize_)
+    if tile_h is None:
+        return None
+
+    xP = _pack_lanes(x)
+    omP = _om_conv_packed(xP, w_om, b_om, B)
+    wfull = weight.reshape(9, C, Cout).astype(jnp.float32)
+    eyeB = jnp.eye(B, dtype=jnp.float32)
+    wBig = jnp.einsum("kco,bd->kcbod", wfull, eyeB).reshape(
+        9 * B * C, B * Cout)
+    biasBig = jnp.repeat(bias.astype(jnp.float32), B)
+
+    xp = jnp.pad(xP, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+    Hp, Wp = H + 2 * PAD, W + 2 * PAD
+    try:
+        xp = pltpu.with_memory_space_constraint(xp, pltpu.HBM)
+    except Exception:
+        pass
+
+    kern = functools.partial(_dcn_kernel_packed_om, H=H, W=W, C=C,
+                             Cout=Cout, P=B, tile_h=tile_h, R=R, PAD=PAD)
+    grid = (1, H // tile_h)
+    win_rows = tile_h + 2 * R + 3
+    vmem_req = _vmem_request_margin(_packed_need(
+        H, W, CP, B, Cout, R, PAD, itemsize_, tile_h), 1.15)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, CP), lambda b, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, W, 27 * B), lambda b, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * CP, B * Cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * Cout,), lambda b, t: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, B * Cout),
+                               lambda b, t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, H, W, B * Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((win_rows, Wp, CP),
+                                   _compute_dtype(x.dtype)),
+                        pltpu.VMEM((tile_h * W, 9 * CP), x.dtype),
+                        pltpu.VMEM((tile_h, W, CP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_req),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * C * Cout * B +
+            B * H * W * 9 * (2 * R + 2) ** 2 * C * 2,
+            bytes_accessed=Hp * Wp * CP * x.dtype.itemsize,
+            transcendentals=B * H * W * 9),
+    )(xp, omP, wBig, biasBig)
+    return _unpack_lanes(out, B)
+
+
+def _fused_reference(x, w_om, b_om, weight, bias, radius):
+    """Unfused composition with identical semantics (fallback + VJP):
+    the offset_mask conv exactly as models/dla.py DeformBlock runs it,
+    then the windowed DCN."""
+    B, H, W, _ = x.shape
+    om = jax.lax.conv_general_dilated(
+        x, w_om.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    om = (om + b_om.astype(om.dtype)).reshape(B, H, W, 9, 3)
+    offset = om[..., 0:2].astype(jnp.float32)
+    mask = jax.nn.sigmoid(om[..., 2].astype(jnp.float32))
+    return deform_conv2d_windowed(x, offset, mask, weight, bias,
+                                  stride=1, padding=1, dilation=1,
+                                  radius=radius)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dcn_pallas_fused(x, w_om, b_om, weight, bias, radius):
+    return _fused_forward(x, w_om, b_om, weight, bias, radius)
+
+
+def _fused_forward(x, w_om, b_om, weight, bias, radius):
+    B, H, W, C = x.shape
+    if _PACK and B > 1 and C <= 128:
+        g = _packed_group_size(B, C, H, W, weight.shape[-1], radius,
+                               1 + radius + 1, jnp.dtype(x.dtype).itemsize)
+        if g == B:
+            out = _pallas_forward_packed_fused(x, w_om, b_om, weight, bias,
+                                               radius)
+            if out is not None:
+                return out
+        elif g is not None:
+            outs = [_pallas_forward_packed_fused(
+                x[i:i + g], w_om, b_om, weight, bias, radius)
+                for i in range(0, B, g)]
+            if all(o is not None for o in outs):
+                return jnp.concatenate(outs, axis=0)
+    # unpackable shape: unfused om conv + the UNPACKED Pallas kernel (the
+    # windowed XLA path would be a large regression in-model)
+    om = jax.lax.conv_general_dilated(
+        x, w_om.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    om = (om + b_om.astype(om.dtype)).reshape(B, H, W, 9, 3)
+    offset18 = om[..., 0:2].astype(jnp.float32).reshape(B, H, W, 18)
+    mask = jax.nn.sigmoid(om[..., 2].astype(jnp.float32))
+    return _pallas_forward(x, offset18, mask, weight, bias, radius)
+
+
+def _fused_fwd(x, w_om, b_om, weight, bias, radius):
+    return _fused_forward(x, w_om, b_om, weight, bias, radius), \
+        (x, w_om, b_om, weight, bias)
+
+
+def _fused_bwd(radius, res, g):
+    # eval-only op: gradients (rarely needed) go through the XLA VJP of
+    # the mathematically identical unfused composition.  Training uses the
+    # unfused DeformBlock path with the Pallas backward kernels instead.
+    x, w_om, b_om, weight, bias = res
+    _, vjp = jax.vjp(lambda *a: _fused_reference(*a, radius),
+                     x, w_om, b_om, weight, bias)
+    return vjp(g)
+
+
+_dcn_pallas_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def deform_conv2d_pallas_fused(x, w_om, b_om, weight, bias=None,
+                               radius: int = 1):
+    """Fused offset-conv + windowed DCN (inference path).  w_om/b_om are
+    the raw offset_mask conv parameters (3, 3, Cin, 27) / (27,) in our
+    per-tap interleaved channel order."""
+    if bias is None:
+        bias = jnp.zeros((weight.shape[-1],), jnp.float32)
+    if weight.shape[:2] != (3, 3):
+        return _fused_reference(x, w_om, b_om, weight, bias, radius)
+    return _dcn_pallas_fused(x, w_om.astype(jnp.float32),
+                             b_om.astype(jnp.float32), weight, bias, radius)
 
 
 def _packed_group_size(B, C, H, W, Cout, R, PAD, itemsize):

@@ -186,6 +186,9 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
             fy = dyE - by
             bx = jnp.clip(jnp.floor(dxE), -R, R - 1)
             fx = dxE - bx
+            # x-base select masks hoisted out of the row loop (see the
+            # forward packed kernel)
+            mx = {b0: bx == b0 for b0 in range(-R + 1, R)}
             row_val = []
             row_dx = []
             for sy in range(-R, R + 1):
@@ -198,9 +201,8 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
                     if lo is None:
                         lo, hi = xb, xb1
                     else:
-                        m = bx == b0
-                        lo = jnp.where(m, xb, lo)
-                        hi = jnp.where(m, xb1, hi)
+                        lo = jnp.where(mx[b0], xb, lo)
+                        hi = jnp.where(mx[b0], xb1, hi)
                 d = hi - lo
                 row_val.append(lo + d * fx)
                 row_dx.append(d)

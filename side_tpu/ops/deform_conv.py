@@ -282,6 +282,39 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                                  padding, dilation)
 
 
+# fuse the offset/mask-producing conv into the packed Pallas program at
+# inference (SIDE_TPU_DCN_FUSED=0 to disable)
+_FUSED_OM = _os.environ.get("SIDE_TPU_DCN_FUSED", "1") == "1"
+
+
+def deform_conv2d_om(x: jnp.ndarray, w_om: jnp.ndarray, b_om: jnp.ndarray,
+                     weight: jnp.ndarray,
+                     bias: Optional[jnp.ndarray] = None,
+                     train: bool = False) -> jnp.ndarray:
+    """Full DCN block compute: offset_mask conv + modulated deformable conv.
+
+    w_om/b_om: the raw 27-channel offset/mask conv parameters
+    (3, 3, Cin, 27) / (27,), per-tap interleaved [dy, dx, mask-logit]
+    (models/dla.py DeformBlock).  At inference in pallas mode the conv is
+    evaluated inside the packed program on the lane-packed input — the
+    27-lane conv and its offset relayouts disappear (round-4, VERDICT 1c).
+    Training keeps the explicit composition so the Pallas backward kernels
+    apply."""
+    mode = _resolve_mode()
+    if not train and mode == "pallas" and _FUSED_OM:
+        from .dcn_pallas import deform_conv2d_pallas_fused
+        return deform_conv2d_pallas_fused(x, w_om, b_om, weight, bias,
+                                          radius=_DCN_RADIUS)
+    B, H, W, _ = x.shape
+    om = jax.lax.conv_general_dilated(
+        x, w_om.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    om = (om + b_om.astype(om.dtype)).reshape(B, H, W, 9, 3)
+    offset = om[..., 0:2].astype(jnp.float32)
+    mask = jax.nn.sigmoid(om[..., 2].astype(jnp.float32))
+    return deform_conv2d(x, offset, mask, weight, bias)
+
+
 def _deform_conv2d_gather(x: jnp.ndarray, offset: jnp.ndarray,
                           mask: jnp.ndarray, weight: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None,

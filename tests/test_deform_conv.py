@@ -509,3 +509,42 @@ def test_packed_batch_grouping_matches_windowed():
     for name, a, r in zip(names, got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_pallas_fused_om_matches_unfused():
+    """Fused offset-conv packed forward == the unfused composition
+    (interpret mode; VERDICT r3 next #1c).  Also checks the fused op's
+    VJP fallback produces the composition's gradients."""
+    from side_tpu.ops import dcn_pallas as DP
+    import jax
+    rng = np.random.RandomState(3)
+    B, H, W, Cin, Cout = 2, 8, 16, 8, 8
+    x = jnp.asarray((rng.randn(B, H, W, Cin) * 0.5).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, Cin, Cout) * 0.3).astype(np.float32))
+    b = jnp.asarray(rng.randn(Cout).astype(np.float32))
+    w_om = jnp.asarray((rng.randn(3, 3, Cin, 27) * 0.2).astype(np.float32))
+    b_om = jnp.asarray((rng.randn(27) * 0.3).astype(np.float32))
+
+    import unittest.mock as um
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        fused = np.asarray(DP.deform_conv2d_pallas_fused(
+            x, w_om, b_om, w, b, radius=1))
+    ref = np.asarray(DP._fused_reference(x, w_om, b_om, w, b, radius=1))
+    np.testing.assert_allclose(fused, ref, rtol=2e-3, atol=2e-3)
+
+    # gradient fallback: matches autodiff of the composition
+    def loss_fused(x_, wom_, w_):
+        return jnp.sum(DP.deform_conv2d_pallas_fused(
+            x_, wom_, b_om, w_, b, radius=1) ** 2)
+
+    def loss_ref(x_, wom_, w_):
+        return jnp.sum(DP._fused_reference(x_, wom_, b_om, w_, b, 1) ** 2)
+
+    with um.patch("side_tpu.ops.dcn_pallas.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w_om, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w_om, w)
+    for a, bb in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=5e-3, atol=5e-3)

@@ -36,7 +36,21 @@ def _build_eval_binary():
 
 
 def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
-                   run_align=True, verbose=False):
+                   run_align=True, verbose=False, n_scenes=2,
+                   batch_size=2, inject=None):
+    """Train on the synthetic fixture and close the full accuracy loop.
+
+    n_scenes=2 is the round-2 overfit protocol (per-object assertions
+    carry the load; AP is quantised to ~1 pt/object).  n_scenes=16 is the
+    round-4 DISCRIMINATIVE protocol: mixed easy/occluded/truncated recipes
+    (data/synthetic.py build_fixture), enough GT objects for meaningful
+    AP3D/APBEV floors at Easy/Moderate/Hard.
+
+    inject: deliberately corrupt predictions before saving, to calibrate
+    that the floors actually break under convention bugs —
+      "ry_flip"   : +pi/2 on every predicted rotation_y
+      "depth_sign": negate the depth-induced x/z (z -> -z clamps to junk)
+    """
     from side_tpu.config import CLASS_NAMES, Config
     from side_tpu.data.dataset import StereoKitti
     from side_tpu.data.kitti import convert_split
@@ -51,9 +65,9 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
     data_dir = os.path.join(tmp, "data")
     save_dir = os.path.join(tmp, "exp")
     os.makedirs(save_dir, exist_ok=True)
-    build_fixture(data_dir, n_train=2, n_val=2, seed=0)
+    build_fixture(data_dir, n_train=n_scenes, n_val=2, seed=0)
     base = os.path.join(data_dir, "kitti")
-    # overfit protocol: val == train (ids 000000, 000001 — one easy car each)
+    # overfit protocol: val == train
     with open(os.path.join(base, "ImageSets_3dop", "train.txt")) as f:
         train_ids = f.read()
     with open(os.path.join(base, "ImageSets_3dop", "val.txt"), "w") as f:
@@ -63,7 +77,7 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
 
     cfg = Config(data_dir=data_dir, exp_dir=save_dir,
                  input_h=input_hw[0], input_w=input_hw[1],
-                 batch_size=2, lr=lr, lr_step=(10 ** 9,),
+                 batch_size=batch_size, lr=lr, lr_step=(10 ** 9,),
                  num_epochs=epochs, max_objs=16, K=16,
                  aug_ddd=0.0, no_color_aug=True, flip_train=False,
                  compute_dtype="float32", num_devices=1, uncert=False,
@@ -108,6 +122,21 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
                     print(f"[overfit] img {img_id} cls {cls}: "
                           f"z_cv={rb[10]:.2f} z_aligned={ra[10]:.2f} "
                           f"ry={ra[11]:+.2f}", flush=True)
+    if inject:
+        # floor calibration: corrupt one convention and watch AP collapse
+        # (row layout: [alpha, bbox x4, dim x3, loc x3, ry, score])
+        for per_cls in results.values():
+            for cls in per_cls:
+                rows = np.array(per_cls[cls], np.float64, copy=True)
+                if rows.size == 0:
+                    continue
+                if inject == "ry_flip":
+                    rows[:, 11] += np.pi / 2
+                elif inject == "depth_sign":
+                    rows[:, 10] = -rows[:, 10]
+                else:
+                    raise ValueError(inject)
+                per_cls[cls] = rows
     save_kitti_results(results, save_dir, CLASS_NAMES)
     raw_dir = os.path.join(save_dir, "raw")
     os.makedirs(raw_dir, exist_ok=True)
@@ -229,8 +258,11 @@ if __name__ == "__main__":
     tmp = tempfile.mkdtemp(prefix="overfit_ap_")
     epochs = int(os.environ.get("OVERFIT_EPOCHS", "160"))
     align = os.environ.get("OVERFIT_ALIGN", "1") == "1"
-    aps, errors = run_overfit_ap(tmp, epochs=epochs, run_align=align,
-                                 verbose=True)
+    aps, errors = run_overfit_ap(
+        tmp, epochs=epochs, run_align=align, verbose=True,
+        n_scenes=int(os.environ.get("OVERFIT_SCENES", "2")),
+        batch_size=int(os.environ.get("OVERFIT_BATCH", "2")),
+        inject=os.environ.get("OVERFIT_INJECT") or None)
     print("APs:", aps)
     print("errors:", errors)
     print("checkpoint + results under:", tmp)
