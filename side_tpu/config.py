@@ -292,7 +292,17 @@ class Config:
         p.add_argument("--eval_oracle_wh", action="store_true")
         p.add_argument("--eval_oracle_offset", action="store_true")
         p.add_argument("--eval_oracle_dep", action="store_true")
+        p.add_argument("--reference_exact", action="store_true",
+                       help="one switch back to exact reference semantics: "
+                            "no depth-bin aux CE, 3D-CNN and dense "
+                            "alignment on ALL top-K slots, host-float "
+                            "images (disables every individually-flagged "
+                            "TPU-first default deviation at once)")
         a = p.parse_args(argv)
+        if a.reference_exact:
+            a.depth_aux_weight = 0.0
+            a.cv_topk = 0
+            a.align_topk = 0
 
         input_h = a.input_h if a.input_h > 0 else (
             a.input_res if a.input_res > 0 else DEFAULT_RESOLUTION[0])
@@ -335,4 +345,5 @@ class Config:
             eval_oracle_hm=a.eval_oracle_hm, eval_oracle_wh=a.eval_oracle_wh,
             eval_oracle_offset=a.eval_oracle_offset,
             eval_oracle_dep=a.eval_oracle_dep,
+            uint8_images=not a.reference_exact,
         )

