@@ -283,8 +283,12 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
 
 
 # fuse the offset/mask-producing conv into the packed Pallas program at
-# inference (SIDE_TPU_DCN_FUSED=0 to disable)
-_FUSED_OM = _os.environ.get("SIDE_TPU_DCN_FUSED", "1") == "1"
+# inference (SIDE_TPU_DCN_FUSED=1 to enable).  Measured and rejected as the
+# default on v5e: the in-kernel block-diagonal conv saves the offset
+# relayout but costs more VPU time than XLA's MXU offset conv + relayout
+# (full-model bench 47.9 vs 51.7 pairs/s, round 4) — kept as an opt-in for
+# future shapes where the relayout dominates.
+_FUSED_OM = _os.environ.get("SIDE_TPU_DCN_FUSED", "0") == "1"
 
 
 def deform_conv2d_om(x: jnp.ndarray, w_om: jnp.ndarray, b_om: jnp.ndarray,

@@ -35,16 +35,17 @@ def _affine_pts(pts: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
     return pts @ A[:, :2].T + A[:, 2]
 
 
-@partial(jax.jit,
-         static_argnames=("grid", "run_align", "cost_volume", "align_topk"))
-def _tail(dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
-          mean, std, *, grid: int, run_align: bool, cost_volume: bool,
-          align_topk: int = 0):
+def _tail_one(dets, dets_r, info, img_left, img_right, trans_inv_out,
+              calib_pack, mean, std, *, grid: int, run_align: bool,
+              cost_volume: bool, align_topk: int = 0):
     """dets/dets_r: (K, 6); info: (K, 9|10); img_*: (H, W, 3) uint8.
 
     calib_pack: [f, bl, cx, cy, x_shift, y_shift, z_shift,
-                 p2_03, p2_13, p2_23, p2_02, p2_12, p2_00, p2_11] (f32).
-    Returns (rows (K, 13), keep (K,), classes (K,)) — the same values
+                 p2_03, p2_13, p2_23, p2_02, p2_12, p2_00, p2_11,
+                 im_w, im_h] (f32).  im_w/im_h are the TRUE image extent —
+    img_* may be zero-padded to a common batch shape (vmap needs equal
+    shapes; KITTI frames vary by a few pixels).
+    Returns (rows (K, 13), classes (K,)) — the same values
     post_process.process_frame produced, still on device.
     """
     f, bl = calib_pack[0], calib_pack[1]
@@ -53,8 +54,7 @@ def _tail(dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
     p2_03, p2_13, p2_23 = calib_pack[7], calib_pack[8], calib_pack[9]
     p2_02, p2_12 = calib_pack[10], calib_pack[11]
     p2_00, p2_11 = calib_pack[12], calib_pack[13]
-    im_w = jnp.float32(img_left.shape[1])
-    im_h = jnp.float32(img_left.shape[0])
+    im_w, im_h = calib_pack[14], calib_pack[15]
 
     scores = dets[:, 4]
     classes = dets[:, 5].astype(jnp.int32)
@@ -145,7 +145,36 @@ def _tail(dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
     return rows, classes
 
 
-def calib_pack_from_meta(meta: Dict, cfg: Config
+@partial(jax.jit,
+         static_argnames=("grid", "run_align", "cost_volume", "align_topk"))
+def _tail(dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
+          mean, std, *, grid: int, run_align: bool, cost_volume: bool,
+          align_topk: int = 0):
+    return _tail_one(dets, dets_r, info, img_left, img_right, trans_inv_out,
+                     calib_pack, mean, std, grid=grid, run_align=run_align,
+                     cost_volume=cost_volume, align_topk=align_topk)
+
+
+@partial(jax.jit,
+         static_argnames=("grid", "run_align", "cost_volume", "align_topk"))
+def _tail_batch(dets, dets_r, info, img_left, img_right, trans_inv_out,
+                calib_pack, mean, std, *, grid: int, run_align: bool,
+                cost_volume: bool, align_topk: int = 0):
+    """vmapped tail over a frame axis: dets (B, K, 6), img_* (B, H, W, 3).
+
+    One device program post-processes B frames at once — the reference's
+    eval loop is strictly frame-at-a-time (stereoDetector.py:146-220), but
+    nothing in the tail couples frames, so on TPU the batch axis is free
+    parallelism (the dense-align photometric enumeration and the box solve
+    are far below the chip's parallel width at B=1)."""
+    fn = partial(_tail_one, grid=grid, run_align=run_align,
+                 cost_volume=cost_volume, align_topk=align_topk)
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+        dets, dets_r, info, img_left, img_right, trans_inv_out, calib_pack,
+        mean, std)
+
+
+def calib_pack_from_meta(meta: Dict, cfg: Config, im_w: float, im_h: float
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side: per-frame affine + calib scalars for `_tail`."""
     c, s = meta["c"], meta["s"]
@@ -161,6 +190,7 @@ def calib_pack_from_meta(meta: Dict, cfg: Config
         calib.p2[0, 3], calib.p2[1, 3], calib.p2[2, 3],
         calib.p2[0, 2], calib.p2[1, 2],
         calib.p2[0, 0], calib.p2[1, 1],
+        im_w, im_h,
     ], np.float32)
     return trans_inv_out, pack
 
@@ -171,7 +201,8 @@ def run_tail(dets, dets_r, info, img_left_u8, img_right_u8, meta: Dict,
 
     dets/dets_r/info may be device arrays straight from the decode program
     (no intermediate fetch)."""
-    trans_inv_out, pack = calib_pack_from_meta(meta, cfg)
+    trans_inv_out, pack = calib_pack_from_meta(
+        meta, cfg, float(img_left_u8.shape[1]), float(img_left_u8.shape[0]))
     mean = jnp.asarray(np.asarray(cfg.mean, np.float32).reshape(1, 1, 3))
     std = jnp.asarray(np.asarray(cfg.std, np.float32).reshape(1, 1, 3))
     return _tail(dets, dets_r, info, jnp.asarray(img_left_u8),
@@ -179,6 +210,53 @@ def run_tail(dets, dets_r, info, img_left_u8, img_right_u8, meta: Dict,
                  jnp.asarray(trans_inv_out), jnp.asarray(pack), mean, std,
                  grid=cfg.grid, run_align=run_align,
                  cost_volume=cfg.cost_volume, align_topk=cfg.align_topk)
+
+
+def _pad_stack(imgs, H: int, W: int) -> np.ndarray:
+    """Edge-pad per-frame uint8 images to a common (H, W) and stack.
+
+    Padding is outside every true image extent (im_w/im_h ride in the
+    calib pack); edge replication (not zeros) keeps bilinear reads AT the
+    true boundary identical to the unpadded single-frame tail."""
+    out = np.empty((len(imgs), H, W, 3), np.uint8)
+    for i, im in enumerate(imgs):
+        h, w = im.shape[:2]
+        out[i, :h, :w] = im
+        if w < W:
+            out[i, :h, w:] = im[:, w - 1:w]
+        if h < H:
+            out[i, h:] = out[i, h - 1:h]
+    return out
+
+
+def run_tail_batch(dets, dets_r, info, imgs_left, imgs_right, metas,
+                   cfg: Config, run_align: bool = True):
+    """Batched fused tail: dets (B, K, 6) device arrays, imgs_* lists of B
+    per-frame uint8 numpy images (possibly varying by a few pixels), metas
+    list of B per-frame dicts.  Returns device handles (rows (B, K, 13),
+    classes (B, K))."""
+    B = len(imgs_left)
+    # round the padded extent up to fixed multiples so every KITTI frame
+    # size (1242x375, 1224x370, 1238x374, ...) lands in ONE compiled shape
+    # (each new shape costs a full XLA compile)
+    H = -(-max(im.shape[0] for im in imgs_left + imgs_right) // 64) * 64
+    W = -(-max(im.shape[1] for im in imgs_left + imgs_right) // 128) * 128
+    packs, trans = [], []
+    for i in range(B):
+        t, p = calib_pack_from_meta(
+            metas[i], cfg, float(imgs_left[i].shape[1]),
+            float(imgs_left[i].shape[0]))
+        trans.append(t)
+        packs.append(p)
+    mean = jnp.asarray(np.asarray(cfg.mean, np.float32).reshape(1, 1, 3))
+    std = jnp.asarray(np.asarray(cfg.std, np.float32).reshape(1, 1, 3))
+    return _tail_batch(
+        dets, dets_r, info,
+        jnp.asarray(_pad_stack(imgs_left, H, W)),
+        jnp.asarray(_pad_stack(imgs_right, H, W)),
+        jnp.asarray(np.stack(trans)), jnp.asarray(np.stack(packs)),
+        mean, std, grid=cfg.grid, run_align=run_align,
+        cost_volume=cfg.cost_volume, align_topk=cfg.align_topk)
 
 
 def bucket_results(rows: np.ndarray, classes: np.ndarray, scores: np.ndarray,

@@ -222,6 +222,55 @@ class Detector:
             "merge": t_end - t_post,
         }
 
+    # --------------------------------------------------- batched pipeline
+    def dispatch_batch(self, pres, run_align: bool = True) -> Dict:
+        """Batched dispatch: ONE device program forward+decodes B frames and
+        ONE fused tail post-processes them (the reference eval loop is
+        frame-at-a-time, stereoDetector.py:146-220; the batch axis is free
+        TPU parallelism).  `pres` is a list of `load_and_pre` outputs."""
+        t = time.time()
+        batch = {k: jnp.concatenate([p["batch"][k] for p in pres], axis=0)
+                 for k in pres[0]["batch"]}
+        dets, dets_r, info = self._process(self.variables, batch)
+        from ..postprocess.device_tail import run_tail_batch
+        rows, classes = run_tail_batch(
+            dets, dets_r, info,
+            [p["image"] for p in pres], [p["image_right"] for p in pres],
+            [p["meta"] for p in pres], self.cfg, run_align=run_align)
+        return {"handles": (rows, classes), "pres": pres,
+                "t_dispatch": time.time() - t}
+
+    def finish_batch(self, pending) -> list:
+        """Fetch the batched outputs; returns one result dict per frame."""
+        pres = pending["pres"]
+        t_net0 = time.time()
+        rows_b, classes_b = pending["handles"]
+        jax.block_until_ready(rows_b)
+        t_net = time.time()
+        rows_b = np.asarray(rows_b)
+        classes_b = np.asarray(classes_b)
+        t_dec = time.time()
+        outs = []
+        for i, pre in enumerate(pres):
+            rows, classes = rows_b[i], classes_b[i]
+            keep = rows[:, 12] > self.cfg.peak_thresh
+            results = {}
+            for cls in range(self.cfg.num_classes):
+                sel = keep & (classes == cls)
+                results[cls + 1] = rows[sel]
+            t_post = time.time()
+            results = self.merge_outputs(results)
+            t_end = time.time()
+            outs.append({
+                "results": results,
+                "tot": t_end - pre["t0"], "load": pre["load"],
+                "pre": pre["pre"],
+                "net": (t_net - t_net0) / len(pres),
+                "dec": (t_dec - t_net) / len(pres),
+                "post": t_post - t_dec, "merge": t_end - t_post,
+            })
+        return outs
+
     # ------------------------------------------------------------------ run
     def run(self, images_or_paths, image_id=None, calib=None,
             run_align: bool = True) -> Dict:

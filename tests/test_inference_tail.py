@@ -301,3 +301,48 @@ def test_device_tail_align_topk_cap():
     np.testing.assert_allclose(rows_cap[2], rows_noalign[2], atol=1e-4)
     # and alignment actually changed the 3rd slot in the full program
     assert abs(rows_full[2, 10] - rows_noalign[2, 10]) > 0.2
+
+
+def test_device_tail_batched_matches_single():
+    """run_tail_batch (ONE vmapped program over a frame axis, with frames
+    edge-padded to a common rounded-up extent) must reproduce the
+    single-frame fused tail bit-for-bit-ish — including frames whose true
+    image sizes differ (KITTI frames vary by a few pixels) and boxes
+    touching the true right/bottom boundary."""
+    import jax.numpy as jnp
+    from side_tpu.postprocess.device_tail import run_tail, run_tail_batch
+
+    cfg = Config()
+    _, p2, p3 = _meta(cfg)
+    rng = np.random.RandomState(3)
+
+    frames = []
+    for j, cars in enumerate([CARS[:2], CARS[2:4], CARS[1:3]]):
+        objs = [{"type": "Car", "dim": list(DIM_HWL),
+                 "location": [c[0], c[1], c[2]], "rotation_y": c[3],
+                 "color": [200, 80, 60]} for c in cars]
+        img_l = _render(objs, p2, np.random.RandomState(j))
+        img_r = _render(objs, p3, np.random.RandomState(j))
+        # vary the true extent per frame (crop a few pixels, as KITTI does)
+        crop_h, crop_w = img_l.shape[0] - 2 * j, img_l.shape[1] - 5 * j
+        img_l, img_r = img_l[:crop_h, :crop_w], img_r[:crop_h, :crop_w]
+        dets, dets_r, info, meta = _make_decode_outputs(
+            cfg, cars, depth_fn=lambda zz: zz + 1.5)
+        frames.append((dets, dets_r, info, img_l, img_r, meta))
+
+    rows_b, classes_b = run_tail_batch(
+        jnp.asarray(np.stack([f[0] for f in frames])),
+        jnp.asarray(np.stack([f[1] for f in frames])),
+        jnp.asarray(np.stack([f[2] for f in frames])),
+        [f[3] for f in frames], [f[4] for f in frames],
+        [f[5] for f in frames], cfg, run_align=True)
+    rows_b = np.asarray(rows_b)
+    classes_b = np.asarray(classes_b)
+
+    for i, (dets, dets_r, info, img_l, img_r, meta) in enumerate(frames):
+        rows_1, classes_1 = run_tail(
+            jnp.asarray(dets), jnp.asarray(dets_r), jnp.asarray(info),
+            img_l, img_r, meta, cfg, run_align=True)
+        np.testing.assert_allclose(rows_b[i], np.asarray(rows_1), atol=1e-3,
+                                   err_msg=f"frame {i}")
+        np.testing.assert_array_equal(classes_b[i], np.asarray(classes_1))

@@ -50,11 +50,14 @@ def main():
     no_align = False
     profile = False
     serial = False
+    eval_batch = 1
     rest = []
     i = 0
     while i < len(argv):
         if argv[i] == "--num_images":
             num_images = int(argv[i + 1]); i += 2
+        elif argv[i] == "--eval_batch":
+            eval_batch = int(argv[i + 1]); i += 2
         elif argv[i] == "--no_align":
             no_align = True; i += 1
         elif argv[i] == "--profile":
@@ -108,7 +111,10 @@ def main():
         # thread runs load+pre ahead of the device; the main thread
         # dispatches frame i's device program asynchronously, then finishes
         # frame i-1 (fetch + post-process tail) while the chip computes.
-        q = queue.Queue(maxsize=4)
+        # With --eval_batch B > 1 the device programs take B frames at once
+        # (one forward+decode, one fused tail) — the batch axis is free TPU
+        # parallelism the reference's frame-at-a-time loop leaves unused.
+        q = queue.Queue(maxsize=4 * eval_batch)
 
         def producer():
             for ind in range(n):
@@ -122,20 +128,47 @@ def main():
 
         threading.Thread(target=producer, daemon=True).start()
         pending = None
-        while True:
-            item = q.get()
-            if item is None:
+
+        def next_group():
+            """Pull up to eval_batch frames; pad the last group by
+            repeating its final frame so every dispatch compiles ONE
+            batched shape (padded results are dropped)."""
+            group = []
+            while len(group) < eval_batch:
+                item = q.get()
+                if item is None:
+                    return group, True
+                group.append(item)
+            return group, False
+
+        done = False
+        while not done:
+            group, done = next_group()
+            if not group:
                 break
-            ind, img_id, pre = item
-            dispatched = (ind, img_id,
-                          detector.dispatch(pre, run_align=not no_align))
+            n_real = len(group)
+            while len(group) < eval_batch:
+                group.append(group[-1])
+            if eval_batch == 1:
+                handle = detector.dispatch(group[0][2],
+                                           run_align=not no_align)
+            else:
+                handle = detector.dispatch_batch(
+                    [g[2] for g in group], run_align=not no_align)
+            dispatched = (group, n_real, handle)
             if pending is not None:
-                pind, pid, p = pending
-                report(pind, pid, detector.finish(p))
+                pgroup, pn, ph = pending
+                rets = ([detector.finish(ph)] if eval_batch == 1
+                        else detector.finish_batch(ph))
+                for (pind, pid, _), ret in list(zip(pgroup, rets))[:pn]:
+                    report(pind, pid, ret)
             pending = dispatched
         if pending is not None:
-            pind, pid, p = pending
-            report(pind, pid, detector.finish(p))
+            pgroup, pn, ph = pending
+            rets = ([detector.finish(ph)] if eval_batch == 1
+                    else detector.finish_batch(ph))
+            for (pind, pid, _), ret in list(zip(pgroup, rets))[:pn]:
+                report(pind, pid, ret)
 
     wall = time.time() - t_wall0
     if n > 1:
