@@ -429,6 +429,38 @@ def _dcn_kernel_packed(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref,
         dxE = _lane_expand(dx, C)
         mkE = _lane_expand(mk, C)
 
+        if _ACCUM == "lerp0":
+            # DIAGNOSTIC (tools/dcn_roofline.py): the op-count FLOOR for
+            # any fractional-offset bilinear — fixed neighbour base (0, 0),
+            # i.e. the R=0 window: frac extraction + one x-lerp per row +
+            # one y-lerp + mask.  NOT a valid DCN (ignores the integer part
+            # of the offset); exists purely to measure how far the
+            # production select-lerp is from the minimum VPU work.
+            tyf = (dyE - jnp.floor(dyE)).astype(cdt)
+            txf = (dxE - jnp.floor(dxE)).astype(cdt)
+            c0 = PAD - 1 + tx
+            r0 = None
+            for sy in range(0, 2):
+                xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
+                xb = xs[:, c0:c0 + W, :]
+                xb1 = xs[:, c0 + 1:c0 + 1 + W, :]
+                r = xb + (xb1 - xb) * txf
+                r0, r1 = (r, None) if r0 is None else (r0, r)
+            val = r0 + (r1 - r0) * tyf
+            cols_ref[:, k * CP:(k + 1) * CP] = (
+                val * mkE.astype(cdt)).reshape(
+                tile_h * W, CP).astype(cols_ref.dtype)
+            continue
+        if _ACCUM == "copy":
+            # DIAGNOSTIC: no interpolation at all — static window * mask.
+            # The pure data-movement floor of the cols construction.
+            xs = x32_ref[ty + R:ty + R + tile_h]
+            c0 = PAD - 1 + tx
+            val = xs[:, c0:c0 + W, :]
+            cols_ref[:, k * CP:(k + 1) * CP] = (
+                val * mkE.astype(cdt)).reshape(
+                tile_h * W, CP).astype(cols_ref.dtype)
+            continue
         if _ACCUM == "lerp":
             # select-lerp bilinear (see _ACCUM doc): per axis, base =
             # clip(floor(d), -R, R-1) and frac = d - base pick the two

@@ -37,7 +37,7 @@ def _build_eval_binary():
 
 def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
                    run_align=True, verbose=False, n_scenes=2,
-                   batch_size=2, inject=None):
+                   batch_size=2, inject=None, ckpt=None):
     """Train on the synthetic fixture and close the full accuracy loop.
 
     n_scenes=2 is the round-2 overfit protocol (per-object assertions
@@ -50,6 +50,10 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
     that the floors actually break under convention bugs —
       "ry_flip"   : +pi/2 on every predicted rotation_y
       "depth_sign": negate the depth-induced x/z (z -> -z clamps to junk)
+
+    ckpt: path to a model_last.npz from a previous identical-protocol run;
+    skips training (used by the inject calibration runs, which corrupt
+    predictions AFTER inference and so share the trained model).
     """
     from side_tpu.config import CLASS_NAMES, Config
     from side_tpu.data.dataset import StereoKitti
@@ -83,26 +87,33 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
                  compute_dtype="float32", num_devices=1, uncert=False,
                  peak_thresh=0.25)
 
-    train_ds = StereoKitti(cfg, "train")
-    loader = Loader(train_ds, cfg.batch_size, shuffle=True, num_workers=2,
-                    drop_last=True, seed=0)
-    model = create_model(cfg)
-    variables = jax.jit(
-        lambda r: init_stereo_net(model, r, cfg.input_h, cfg.input_w,
-                                  cfg.max_objs))(jax.random.PRNGKey(0))
-    trainer = Trainer(cfg, model, variables, steps_per_epoch=len(loader))
-    for epoch in range(1, epochs + 1):
-        stats = trainer.train(epoch, loader)
-        if verbose and (epoch % 10 == 0 or epoch == 1):
-            print(f"[overfit] epoch {epoch}: " +
-                  " ".join(f"{k}={v:.3f}" for k, v in stats.items()),
-                  flush=True)
-    assert np.isfinite(stats["loss"])
-    trainer.save(os.path.join(save_dir, "model_last.npz"), epochs)
+    if ckpt:
+        from side_tpu.runtime import checkpoint as CK
+        loaded = CK.load_checkpoint(ckpt)
+        eval_variables = {"params": loaded["params"],
+                          "batch_stats": loaded["batch_stats"]}
+    else:
+        train_ds = StereoKitti(cfg, "train")
+        loader = Loader(train_ds, cfg.batch_size, shuffle=True,
+                        num_workers=2, drop_last=True, seed=0)
+        model = create_model(cfg)
+        variables = jax.jit(
+            lambda r: init_stereo_net(model, r, cfg.input_h, cfg.input_w,
+                                      cfg.max_objs))(jax.random.PRNGKey(0))
+        trainer = Trainer(cfg, model, variables, steps_per_epoch=len(loader))
+        for epoch in range(1, epochs + 1):
+            stats = trainer.train(epoch, loader)
+            if verbose and (epoch % 10 == 0 or epoch == 1):
+                print(f"[overfit] epoch {epoch}: " +
+                      " ".join(f"{k}={v:.3f}" for k, v in stats.items()),
+                      flush=True)
+        assert np.isfinite(stats["loss"])
+        trainer.save(os.path.join(save_dir, "model_last.npz"), epochs)
+        eval_variables = trainer.eval_variables
 
     # -------- inference on the (identical) val split, full tail ----------
     val_ds = StereoKitti(cfg, "val")
-    detector = Detector(cfg, variables=trainer.eval_variables)
+    detector = Detector(cfg, variables=eval_variables)
     results = {}
     results_raw = {}   # run_align=False: depth is the raw cost-volume z
     for img_id in val_ds.images:
@@ -262,7 +273,8 @@ if __name__ == "__main__":
         tmp, epochs=epochs, run_align=align, verbose=True,
         n_scenes=int(os.environ.get("OVERFIT_SCENES", "2")),
         batch_size=int(os.environ.get("OVERFIT_BATCH", "2")),
-        inject=os.environ.get("OVERFIT_INJECT") or None)
+        inject=os.environ.get("OVERFIT_INJECT") or None,
+        ckpt=os.environ.get("OVERFIT_CKPT") or None)
     print("APs:", aps)
     print("errors:", errors)
     print("checkpoint + results under:", tmp)

@@ -43,52 +43,20 @@ def run_eval(save_dir: str, gt_dir: str):
     return subprocess.run(cmd, capture_output=False)
 
 
-def main():
-    # pull our extra flag, forward the rest to Config.cli
-    argv = sys.argv[1:]
-    num_images = -1
-    no_align = False
-    profile = False
-    serial = False
-    eval_batch = 1
-    rest = []
-    i = 0
-    while i < len(argv):
-        if argv[i] == "--num_images":
-            num_images = int(argv[i + 1]); i += 2
-        elif argv[i] == "--eval_batch":
-            eval_batch = int(argv[i + 1]); i += 2
-        elif argv[i] == "--no_align":
-            no_align = True; i += 1
-        elif argv[i] == "--profile":
-            profile = True; i += 1
-        elif argv[i] == "--serial":
-            serial = True; i += 1
-        elif argv[i] == "--no_eval":
-            rest.append(argv[i]); i += 1
-        else:
-            rest.append(argv[i]); i += 1
-    do_eval = "--no_eval" not in rest
-    rest = [a for a in rest if a != "--no_eval"]
-    cfg = Config.cli(rest)
-
-    ds = StereoKitti(cfg, "val")
-    detector = Detector(cfg)
-
+def run_pass(cfg, ds, detector, *, n, eval_batch, serial, no_align):
+    """One full inference pass over `n` val images; returns (results,
+    meters, steady_ms) where steady_ms is wall ms/image over the SECOND
+    half of the reports — the first half absorbs compile + the relay's
+    multi-minute first-fetch cold start, so end-of-run `wall/n` wildly
+    overstates the steady-state cost."""
     meters = {k: AverageMeter() for k in
               ["tot", "load", "pre", "net", "dec", "post", "merge"]}
     results = {}
-    n = len(ds.images) if num_images < 0 else min(num_images, len(ds.images))
-    if profile:
-        # jax.profiler trace of the inference loop (SURVEY.md §5: the
-        # reference has wall-clock stage meters only; this adds device traces)
-        prof_dir = os.path.join(cfg.save_dir, "profile")
-        os.makedirs(prof_dir, exist_ok=True)
-        jax.profiler.start_trace(prof_dir)
-    t_wall0 = time.time()
+    report_t = []
 
     def report(ind, img_id, ret):
         results[img_id] = ret["results"]
+        report_t.append(time.time())
         msg = f"[{ind + 1}/{n}] {img_id:06d} "
         for k in meters:
             meters[k].update(ret[k])
@@ -170,16 +138,80 @@ def main():
             for (pind, pid, _), ret in list(zip(pgroup, rets))[:pn]:
                 report(pind, pid, ret)
 
-    wall = time.time() - t_wall0
-    if n > 1:
-        # in pipelined mode the 'net' meter only sees the residual wait
-        # inside finish() after overlap with host work — label it as such
-        # (quote serial-mode runs for pure device time)
-        net_label = ("pure net avg" if serial else
-                     "net wait (overlapped) avg")
-        print(f"[val] wall {wall:.1f}s for {n} images = {wall/n*1e3:.0f} "
-              f"ms/image ({'serial' if serial else 'pipelined'}); "
-              f"{net_label} {meters['net'].avg*1e3:.0f} ms", flush=True)
+    steady_ms = None
+    if len(report_t) >= 4:
+        half = len(report_t) // 2
+        steady_ms = (report_t[-1] - report_t[half - 1]) / \
+            (len(report_t) - half) * 1e3
+    return results, meters, steady_ms
+
+
+def main():
+    # pull our extra flags, forward the rest to Config.cli
+    argv = sys.argv[1:]
+    num_images = -1
+    no_align = False
+    profile = False
+    serial = False
+    eval_batches = [1]
+    rest = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--num_images":
+            num_images = int(argv[i + 1]); i += 2
+        elif argv[i] == "--eval_batch":
+            eval_batches = [int(argv[i + 1])]; i += 2
+        elif argv[i] == "--eval_batches":
+            # comparison mode: run the full pass once per batch size in ONE
+            # process (the TPU relay's first host fetch costs minutes, so
+            # per-mode processes would drown the measurement)
+            eval_batches = [int(v) for v in argv[i + 1].split(",")]; i += 2
+        elif argv[i] == "--no_align":
+            no_align = True; i += 1
+        elif argv[i] == "--profile":
+            profile = True; i += 1
+        elif argv[i] == "--serial":
+            serial = True; i += 1
+        elif argv[i] == "--no_eval":
+            rest.append(argv[i]); i += 1
+        else:
+            rest.append(argv[i]); i += 1
+    do_eval = "--no_eval" not in rest
+    rest = [a for a in rest if a != "--no_eval"]
+    cfg = Config.cli(rest)
+
+    ds = StereoKitti(cfg, "val")
+    detector = Detector(cfg)
+
+    n = len(ds.images) if num_images < 0 else min(num_images, len(ds.images))
+    if profile:
+        # jax.profiler trace of the inference loop (SURVEY.md §5: the
+        # reference has wall-clock stage meters only; this adds device traces)
+        prof_dir = os.path.join(cfg.save_dir, "profile")
+        os.makedirs(prof_dir, exist_ok=True)
+        jax.profiler.start_trace(prof_dir)
+
+    results = None
+    for eval_batch in eval_batches:
+        t_wall0 = time.time()
+        results, meters, steady_ms = run_pass(
+            cfg, ds, detector, n=n, eval_batch=eval_batch, serial=serial,
+            no_align=no_align)
+        wall = time.time() - t_wall0
+        if n > 1:
+            # in pipelined mode the 'net' meter only sees the residual wait
+            # inside finish() after overlap with host work — label it as
+            # such (quote serial-mode runs for pure device time)
+            net_label = ("pure net avg" if serial else
+                         "net wait (overlapped) avg")
+            steady = (f"; steady {steady_ms:.0f} ms/image "
+                      f"({1e3 / steady_ms:.1f} pairs/s)"
+                      if steady_ms else "")
+            print(f"[val] batch {eval_batch}: wall {wall:.1f}s for {n} "
+                  f"images = {wall/n*1e3:.0f} ms/image "
+                  f"({'serial' if serial else 'pipelined'}); "
+                  f"{net_label} {meters['net'].avg*1e3:.0f} ms{steady}",
+                  flush=True)
 
     if profile:
         jax.profiler.stop_trace()
