@@ -61,8 +61,12 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
         self.steps_per_epoch = max(1, steps_per_epoch)
 
-        # lr schedule: x0.1 at each lr_step epoch (testTrain.py:104-110)
-        boundaries = {e * self.steps_per_epoch: 0.1 for e in cfg.lr_step}
+        # lr schedule: x0.1 at each lr_step epoch (testTrain.py:104-110).
+        # Boundaries clamp to int32 range: the schedule's step counter is
+        # int32 under jit, and "never decay" protocols pass lr_step=(1e9,)
+        # which overflows once multiplied by steps_per_epoch.
+        boundaries = {min(e * self.steps_per_epoch, 2**31 - 1): 0.1
+                      for e in cfg.lr_step}
         self.lr_schedule = optax.piecewise_constant_schedule(cfg.lr,
                                                              boundaries)
         self.tx = optax.adam(self.lr_schedule)
