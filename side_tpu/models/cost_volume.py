@@ -26,7 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.roi_align import pool_interp_matrix, roi_align
-from .dla import BN_EPS, BN_MOMENTUM, msra_init
+from .dla import BN_EPS, BN_MOMENTUM, FoldedBatchNorm, msra_init
 
 DEPTH_MAX = 87.0
 
@@ -143,10 +143,9 @@ class ConvBN3D(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3, 3), padding=1, use_bias=False,
                     kernel_init=msra_init, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32)(x)
-        x = nn.relu(x) if self.relu else x
-        return x.astype(self.dtype)
+        x = FoldedBatchNorm(use_running_average=not train,
+                            dtype=self.dtype, name="BatchNorm_0")(x)
+        return nn.relu(x) if self.relu else x
 
 
 class HourglassVolume(nn.Module):
@@ -161,9 +160,8 @@ class HourglassVolume(nn.Module):
     @nn.compact
     def __call__(self, cost: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         def bn(x, name):
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                dtype=jnp.float32, name=name)(x)
+            return FoldedBatchNorm(use_running_average=not train,
+                                   dtype=self.dtype, name=name)(x)
 
         c = nn.relu(bn(nn.Conv(64, (3, 3, 3), padding=1, use_bias=False,
                                kernel_init=msra_init, dtype=self.dtype,
@@ -220,9 +218,8 @@ class CostVolumeNet(nn.Module):
         isp = jnp.mean(cost, axis=2)                          # (N, D, W, C)
         isp = nn.Conv(64, (3, 3), padding=1, kernel_init=msra_init,
                       dtype=self.dtype, name="strAM_conv")(isp)
-        isp = nn.BatchNorm(use_running_average=not train,
-                           momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                           dtype=jnp.float32, name="strAM_bn")(isp)
+        isp = FoldedBatchNorm(use_running_average=not train,
+                              dtype=self.dtype, name="strAM_bn")(isp)
         gate = jax.nn.sigmoid(isp)[:, :, None].astype(cost.dtype)
         cost = cost * gate
 

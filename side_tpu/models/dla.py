@@ -36,6 +36,56 @@ conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 msra_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class FoldedBatchNorm(nn.Module):
+    """Drop-in BatchNorm (identical param/batch_stats tree and statistics
+    semantics to flax nn.BatchNorm: f32 biased batch variance clipped at 0,
+    running stats blended with `momentum`) whose normalisation applies as
+    ONE fused multiply-add in the compute dtype.
+
+    flax's `_normalize` computes `x - mean` with mean promoted to f32, so
+    the whole elementwise chain (and its VJP) runs at f32 width even under
+    bf16 compute — at the full-res DLA stem this doubled elementwise
+    bandwidth and forced bf16<->f32 layout copies between the convs and the
+    BN chain (the three stem ConvBNs alone carried ~30 ms of the 284 ms
+    batch-2 train step, tools/train_profile.py round 4).  Here the affine
+    is folded per channel in f32 — a = scale*rsqrt(var+eps),
+    b = bias - mean*a — and only the C-sized a/b are cast, so the (H,W)-
+    sized apply y = x*a + b stays in the activation dtype end to end."""
+    use_running_average: bool
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # f32 reductions over the batch axes (XLA fuses the convert
+            # into the reduce); under pjit the sharded-batch mean inserts
+            # the cross-device collective automatically (sync-BN)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axes) - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        dt = jnp.dtype(self.dtype)
+        return x.astype(dt) * a.astype(dt) + b.astype(dt)
+
+
 class ConvBN(nn.Module):
     """conv (no bias) + BN + optional ReLU."""
     features: int
@@ -52,12 +102,11 @@ class ConvBN(nn.Module):
                     strides=self.stride, padding=pad,
                     kernel_dilation=self.dilation, use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32)(x)
-        # BN statistics stay f32; activations return to the compute dtype so
-        # downstream convs/gathers don't silently run at doubled width
-        x = nn.relu(x) if self.relu else x
-        return x.astype(self.dtype)
+        # BN statistics stay f32; the folded apply runs in the compute
+        # dtype (name pinned so the param tree matches nn.BatchNorm)
+        x = FoldedBatchNorm(use_running_average=not train,
+                            dtype=self.dtype, name="BatchNorm_0")(x)
+        return nn.relu(x) if self.relu else x
 
 
 class BasicBlock(nn.Module):
@@ -264,9 +313,9 @@ class DeformBlock(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         y = deform_conv2d_om(x, w_om, b_om, w, b, train=train)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32)(y)
-        return nn.relu(y).astype(x.dtype)
+        y = FoldedBatchNorm(use_running_average=not train,
+                            dtype=x.dtype, name="BatchNorm_0")(y)
+        return nn.relu(y)
 
 
 class IDAUp(nn.Module):

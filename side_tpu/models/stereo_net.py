@@ -27,7 +27,8 @@ from flax import linen as nn
 
 from ..ops import decode as dec
 from .cost_volume import CostVolumeNet, build_cost_volume, proposal_shift
-from .dla import BN_EPS, BN_MOMENTUM, FeatureExtractor, conv_init
+from .dla import (BN_EPS, BN_MOMENTUM, FeatureExtractor,
+                  FoldedBatchNorm, conv_init)
 
 
 def _bias_const(v):
@@ -113,10 +114,10 @@ class StereoNet(nn.Module):
                 y = nn.Conv(32, (1, 1), use_bias=False,
                             kernel_init=conv_init, dtype=self.dtype,
                             name="feaReduce")(x)
-                y = nn.BatchNorm(use_running_average=not train,
-                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                 dtype=jnp.float32, name="feaReduce_bn")(y)
-                return nn.relu(y).astype(self.dtype)
+                y = FoldedBatchNorm(use_running_average=not train,
+                                    dtype=self.dtype,
+                                    name="feaReduce_bn")(y)
+                return nn.relu(y)
 
             red = reduce(feats)
             red_left, red_right = red[:B], red[B:]

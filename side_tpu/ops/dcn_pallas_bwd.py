@@ -342,9 +342,8 @@ def dcn_packed_backward(x, offset18, mask, weight, g, radius: int,
     offP = _fwd._pack_lanes(offset18)
     maskP = _fwd._pack_lanes(mask)
     wfull = weight.reshape(9, C, Cout).astype(jnp.float32)
-    eyeB = jnp.eye(B, dtype=jnp.float32)
     # rows (cout, b) = g lanes, cols (cin, b) = x lanes, per tap
-    wT = jnp.einsum("kco,bd->kobcd", wfull, eyeB).reshape(9 * CoP, CP)
+    wT = _fwd._eye_expand(jnp.swapaxes(wfull, 1, 2), B).reshape(9 * CoP, CP)
 
     # ---------------------------------------------------------------- d_x
     d_x = None
@@ -356,7 +355,7 @@ def dcn_packed_backward(x, offset18, mask, weight, g, radius: int,
     if "dcoord" not in parts:
         return (d_x, None, None, None, None)
     d_offset18, d_mask, d_weight = _run_dcoord(
-        x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout, R, PAD,
+        x, xP, gP, offP, maskP, wT, wfull, B, H, W, C, Cout, R, PAD,
         itemsize)
     d_bias = g.astype(jnp.float32).sum(axis=(0, 1, 2))
     return (d_x, d_offset18, d_mask, d_weight.astype(weight.dtype), d_bias)
@@ -416,7 +415,7 @@ def _run_dx(x, gP, offP, maskP, wT, B, H, W, C, Cout, R, G, itemsize):
     return _fwd._unpack_lanes(dxP, B)
 
 
-def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout,
+def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, B, H, W, C, Cout,
                 R, PAD, itemsize):
     CP = B * C
     CoP = B * Cout
@@ -478,7 +477,7 @@ def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, eyeB, B, H, W, C, Cout,
             bytes_accessed=Tc * win_rows * Wx * CP * itemsize,
             transcendentals=0),
     )(xwin, gP, offP, maskP, wT,
-      jnp.einsum("kco,bd->kcbod", wfull, eyeB).reshape(9 * CP, CoP))
+      _fwd._eye_expand(wfull, B).reshape(9 * CP, CoP))
 
     d_offset18 = _fwd._unpack_lanes(doffP, B)
     d_mask = _fwd._unpack_lanes(dmaskP, B)
