@@ -303,6 +303,19 @@ class Config:
             a.depth_aux_weight = 0.0
             a.cv_topk = 0
             a.align_topk = 0
+            # The preset must also cover the largest documented deviation:
+            # the windowed/pallas DCN kernels clamp offsets to +-radius,
+            # which is function-class-changing for reference-trained
+            # (unbounded) weights.  Force the exact gather path unless the
+            # user pinned a mode themselves via SIDE_TPU_DCN.
+            import os as _os
+            if _os.environ.get("SIDE_TPU_DCN") is None:
+                from .ops.deform_conv import set_dcn_mode
+                set_dcn_mode("exact")
+                print("[reference_exact] DCN mode -> exact (unbounded "
+                      "offsets; 4-6x slower than the clamped Pallas "
+                      "kernels on TPU — set SIDE_TPU_DCN=pallas to "
+                      "override for clamp-trained checkpoints)")
 
         input_h = a.input_h if a.input_h > 0 else (
             a.input_res if a.input_res > 0 else DEFAULT_RESOLUTION[0])

@@ -165,7 +165,19 @@ def draw_dense_reg(regmap, heatmap, center, value, radius,
 
 
 def draw_msra_gaussian(heatmap, center, sigma) -> np.ndarray:
-    """MSRA-style gaussian used with --mse_loss (image.py:175-196)."""
+    """MSRA-style gaussian used with --mse_loss (image.py:175-196).
+
+    DELIBERATE FIX over the reference: sigma == 0 (radius-0 objects) makes
+    the reference's exp(-d2/(2*sigma^2)) evaluate 0/0 = NaN at the centre
+    pixel and poisons the whole heatmap (observed: hm_loss = NaN from step
+    0 on the fixture).  The sigma -> 0 limit of the gaussian is a unit
+    impulse at the centre, so draw that instead."""
+    if sigma <= 0:
+        mu_x, mu_y = int(center[0] + 0.5), int(center[1] + 0.5)
+        h, w = heatmap.shape[0], heatmap.shape[1]
+        if 0 <= mu_x < w and 0 <= mu_y < h:
+            heatmap[mu_y, mu_x] = max(heatmap[mu_y, mu_x], 1.0)
+        return heatmap
     tmp_size = sigma * 3
     mu_x, mu_y = int(center[0] + 0.5), int(center[1] + 0.5)
     h, w = heatmap.shape[0], heatmap.shape[1]

@@ -83,7 +83,18 @@ class FoldedBatchNorm(nn.Module):
         a = scale * jax.lax.rsqrt(var + self.epsilon)
         b = bias - mean * a
         dt = jnp.dtype(self.dtype)
-        return x.astype(dt) * a.astype(dt) + b.astype(dt)
+        if dt == jnp.float32:
+            return x * a + b
+        # The FMA itself must run in f32: b (= bias - mean*a) is large when
+        # |mean| >> std, and a dt-precision product x*a rounds at magnitude
+        # |b|, injecting absolute error ~|b|*2^-9 into the O(1) normalised
+        # output (ADVICE r4).  Keeping a/b f32 promotes the fused
+        # multiply-add to f32 with ONE final round to dt — still a single
+        # FMA (vs flax _normalize's 4-op chain) and XLA fuses the converts,
+        # so no f32 intermediates are materialised.  Parity-tested against
+        # nn.BatchNorm at bf16 with large-mean/small-var inputs
+        # (tests/test_model.py::test_folded_bn_bf16_large_mean_parity).
+        return (x.astype(jnp.float32) * a + b).astype(dt)
 
 
 class ConvBN(nn.Module):

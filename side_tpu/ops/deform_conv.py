@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
+import contextlib as _contextlib
 import os as _os
 
 # bilinear-gather formulation.  Measured in the FULL backbone on v5e
@@ -262,6 +263,42 @@ def _resolve_mode() -> str:
         except Exception:
             _DCN_MODE = "exact"
     return _DCN_MODE
+
+
+_DCN_MODES = ("exact", "windowed", "pallas")
+
+
+def set_dcn_mode(mode: Optional[str]) -> Optional[str]:
+    """Public setter for the deformable-conv implementation mode.
+
+    Returns the previous mode (possibly None = not yet resolved) so callers
+    can restore it; `None` resets to lazy backend-default resolution.
+    Prefer this (or the `dcn_mode` context manager) over poking the
+    module-private `_DCN_MODE` or the SIDE_TPU_DCN env var at runtime.
+    """
+    global _DCN_MODE
+    if mode is not None and mode not in _DCN_MODES:
+        raise ValueError(f"unknown DCN mode {mode!r}; one of {_DCN_MODES}")
+    prev = _DCN_MODE
+    _DCN_MODE = mode
+    return prev
+
+
+def get_dcn_mode() -> str:
+    """Currently-effective DCN mode (resolves the lazy default)."""
+    return _resolve_mode()
+
+
+@_contextlib.contextmanager
+def dcn_mode(mode: Optional[str]):
+    """Scoped DCN mode override; restores the prior mode on exit."""
+    prev = set_dcn_mode(mode)
+    try:
+        yield
+    finally:
+        set_dcn_mode(prev)
+
+
 _DCN_RADIUS = int(_os.environ.get("SIDE_TPU_DCN_RADIUS", "1"))
 
 

@@ -149,18 +149,25 @@ def depth_bin_ce(logits: jnp.ndarray, depth_bin: jnp.ndarray,
 def stereo_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                 loss_weight: jnp.ndarray, grid: int, uncert: bool,
                 use_cost_volume: bool,
-                depth_aux_weight: float = 0.0
+                depth_aux_weight: float = 0.0,
+                mse_loss: bool = False
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total stereo loss (stereoTrainer.py:97-144).
 
     `loss_weight` is the 7-vector [hm, wh, off, depth, dim, orien, kept];
     with `uncert` it is the learned log-variance vector s and the total is
-    sum(L_i * exp(-s_i) + s_i).
+    sum(L_i * exp(-s_i) + s_i).  `mse_loss` switches the heatmap criterion
+    from the focal loss to nn.MSELoss over the clamped sigmoid
+    (stereoTrainer.py:70,105-106) — pairs with the MSRA gaussian targets
+    (data/targets.py).
     """
     hm_gt = batch["hm"]
     if hm_gt.shape != outputs["hm"].shape:  # targets (B, C, H, W) -> NHWC
         hm_gt = jnp.transpose(hm_gt, (0, 2, 3, 1))
-    hm_loss = focal_loss_logits(outputs["hm"], hm_gt)
+    if mse_loss:
+        hm_loss = jnp.mean((clamped_sigmoid(outputs["hm"]) - hm_gt) ** 2)
+    else:
+        hm_loss = focal_loss_logits(outputs["hm"], hm_gt)
 
     mask, ind = batch["rot_mask"], batch["ind"]
     dim_loss = masked_l1_loss(outputs["dim"], mask, ind, batch["dim"])

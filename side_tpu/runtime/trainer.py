@@ -120,7 +120,8 @@ class Trainer:
         lw = params.get("loss_weight", jnp.asarray(cfg.loss_weight))
         total, stats = stereo_loss(out, batch, lw, cfg.grid, cfg.uncert,
                                    cfg.cost_volume,
-                                   depth_aux_weight=cfg.depth_aux_weight)
+                                   depth_aux_weight=cfg.depth_aux_weight,
+                                   mse_loss=cfg.mse_loss)
         return total, (stats, new_bs)
 
     def _make_step(self, train: bool):

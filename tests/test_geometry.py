@@ -146,3 +146,15 @@ def test_color_aug_cv2_matches_numpy():
         G._color_aug_numpy(np.random.RandomState(seed), b, _EIG_VAL,
                            _EIG_VEC)
         np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_draw_msra_gaussian_radius_zero_no_nan():
+    """radius-0 objects must draw a unit impulse, not NaN the heatmap
+    (the reference's exp(-d2/0) evaluates 0/0 at the centre pixel;
+    observed as hm_loss=NaN from step 0 with --mse_loss on the fixture)."""
+    import numpy as np
+    from side_tpu.data import geometry as G
+    hm = np.zeros((8, 8), np.float32)
+    G.draw_msra_gaussian(hm, (3, 3), 0)
+    assert np.isfinite(hm).all()
+    assert hm[3, 3] == 1.0 and hm.sum() == 1.0

@@ -159,3 +159,41 @@ def test_cv_topk_caps_cost_volume(model_and_vars):
     exp = exp * np.asarray(valid)
     np.testing.assert_allclose(np.asarray(out_cap["depth"][0, 4:, 0]),
                                exp[0, 4:], rtol=1e-4, atol=1e-4)
+
+
+def test_folded_bn_bf16_large_mean_parity():
+    """FoldedBatchNorm at bfloat16 must stay accurate when |mean| >> std:
+    the folded constant b = bias - mean*a is large there, and a single
+    bf16 cast of b would inject absolute error ~|b|*2^-9 into the O(1)
+    normalised output (ADVICE r4 medium).  The hi+lo split must keep the
+    result within bf16-resolution tolerance of flax nn.BatchNorm."""
+    import flax.linen as nn
+    from side_tpu.models.dla import FoldedBatchNorm
+
+    rng = np.random.RandomState(0)
+    C = 32
+    # large per-channel mean, small std: worst case for the fold
+    mean = rng.uniform(200.0, 800.0, C).astype(np.float32)
+    std = rng.uniform(0.05, 0.5, C).astype(np.float32)
+    x = (mean + std * rng.randn(4, 8, 8, C)).astype(np.float32)
+
+    folded = FoldedBatchNorm(use_running_average=True, dtype=jnp.bfloat16)
+    ref = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
+                       dtype=jnp.bfloat16)
+    scale = rng.uniform(0.5, 2.0, C).astype(np.float32)
+    bias = rng.uniform(-1.0, 1.0, C).astype(np.float32)
+    variables = {
+        "params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+        "batch_stats": {"mean": jnp.asarray(mean),
+                        "var": jnp.asarray(std ** 2)},
+    }
+    got = np.asarray(folded.apply(variables, jnp.asarray(x)),
+                     np.float32)
+    want = np.asarray(ref.apply(variables, jnp.asarray(x)), np.float32)
+    assert got.dtype == want.dtype
+    # outputs are O(1); bf16 resolution there is ~2^-8 = 0.004.  Allow a
+    # few ulps of divergence from the different evaluation orders, but
+    # nothing like the |b|*2^-9 ~ 2.0 error of the single-cast fold.
+    err = np.abs(got - want)
+    assert float(err.max()) < 0.15, float(err.max())
+    assert float(err.mean()) < 0.03, float(err.mean())

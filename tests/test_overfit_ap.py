@@ -163,7 +163,7 @@ def run_overfit_variants(tmp, variants=("clean", "ry_flip", "depth_sign"),
         vdir = os.path.join(tmp, f"variant_{variant}")
         os.makedirs(vdir, exist_ok=True)
         out[variant] = _save_and_eval(
-            _copy_results(store["results"]), store["results_raw"],
+            _copy_results(store["results"]), _copy_results(store["results_raw"]),
             base, vdir, inject=variant, verbose=verbose)
     return out
 

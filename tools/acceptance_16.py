@@ -19,6 +19,7 @@ Prints one JSON line per run so STATUS.md numbers are reproducible:
 
 import argparse
 import json
+import math
 import os
 import sys
 
@@ -63,8 +64,20 @@ def main():
         runs[tag] = summary
         print(json.dumps(summary), flush=True)
 
+    # _med/_fmax return inf for non-finite per-object errors (e.g. an
+    # undetected GT); json.dump would emit the non-standard token Infinity,
+    # so serialize non-finite floats as null for strict parsers.
+    def _jsonable(v):
+        if isinstance(v, float) and not math.isfinite(v):
+            return None
+        if isinstance(v, dict):
+            return {k: _jsonable(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_jsonable(x) for x in v]
+        return v
+
     with open(os.path.join(args.out, "summary.json"), "w") as f:
-        json.dump(runs, f, indent=2)
+        json.dump(_jsonable(runs), f, indent=2)
     print("checkpoint:", os.path.join(args.out, "exp", "model_last.npz"))
 
 

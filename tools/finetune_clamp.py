@@ -95,14 +95,14 @@ def run_recipe(out_dir, epochs=160, epochs_ft=40, verbose=False):
     # A: "imported reference weights" — trained unbounded
     print(f"[finetune-clamp] A: training {epochs} epochs with EXACT "
           f"(unbounded) DCN", flush=True)
-    dc._DCN_MODE = "exact"
+    dc.set_dcn_mode("exact")
     ckpt_exact = _train(cfg, os.path.join(out_dir, "model_exact.npz"),
                         epochs, verbose=verbose)
 
     # B: naive eval of unbounded weights under the clamp
     print(f"[finetune-clamp] B: naive eval under {clamped_mode} R="
           f"{dc._DCN_RADIUS}", flush=True)
-    dc._DCN_MODE = clamped_mode
+    dc.set_dcn_mode(clamped_mode)
     summaries = {}
     for tag, ckpt in (("naive", ckpt_exact),):
         _, errors = run_overfit_ap(os.path.join(out_dir, tag),
