@@ -72,17 +72,31 @@ def _render(objs: List[dict], P: np.ndarray, rng: np.random.RandomState
     return img
 
 
-def _car(rng, x, z, ry=None):
+# per-class (h, w, l) dimension priors: base + rand()*spread, KITTI-typical
+# (stereoDataset.py:21 trains Car/Van/Truck; dim_exp is the Car prior)
+_DIM_PRIORS = {
+    "Car": ([1.5, 1.6, 3.8], [0.3, 0.2, 0.6]),
+    "Van": ([1.9, 1.8, 4.7], [0.3, 0.2, 0.7]),
+    "Truck": ([2.9, 2.4, 7.5], [0.5, 0.3, 3.0]),
+}
+
+
+def _obj(rng, x, z, cls="Car", ry=None):
     ry = rng.uniform(-np.pi, np.pi) if ry is None else ry
-    dim = [1.5 + rng.rand() * 0.3, 1.6 + rng.rand() * 0.2,
-           3.8 + rng.rand() * 0.6]  # h, w, l
+    base, spread = _DIM_PRIORS[cls]
+    dim = [b + rng.rand() * s for b, s in zip(base, spread)]  # h, w, l
     color = rng.randint(60, 255, size=3).tolist()
-    return {"type": "Car", "dim": dim, "location": [x, 1.65, z],
+    return {"type": cls, "dim": dim, "location": [x, 1.65, z],
             "rotation_y": ry, "color": color}
 
 
+def _car(rng, x, z, ry=None):
+    return _obj(rng, x, z, "Car", ry)
+
+
 def make_scene(rng: np.random.RandomState, n_cars: int,
-               recipe: str = "easy") -> List[dict]:
+               recipe: str = "easy", classes: Tuple[str, ...] = ("Car",)
+               ) -> List[dict]:
     """Scene recipes:
       easy      — fully visible, untruncated cars (round-2 behaviour)
       occluded  — an occlusion pair (a near car partially covering a far
@@ -91,6 +105,11 @@ def make_scene(rng: np.random.RandomState, n_cars: int,
                   the evaluator's max-occlusion difficulty filters
       truncated — one car hanging off the left or right image edge
                   (truncation branches of the dataset and box solver)
+
+    `classes` is the draw pool for the FILLER objects (the recipe-specific
+    pair/truncated objects stay Car so their calibrated geometry holds);
+    ("Car", "Van", "Truck") gives the multi-class fixture (the reference
+    trains 3 classes, stereoDataset.py:21).
     """
     objs = []
     if recipe == "occluded":
@@ -114,10 +133,13 @@ def make_scene(rng: np.random.RandomState, n_cars: int,
         x = (u_edge - side * rng.uniform(0.02, 0.10)) * z
         objs.append(_car(rng, x, z, ry=rng.uniform(-0.4, 0.4)))
         n_cars = max(0, n_cars - 1)
-    for _ in range(n_cars):
-        z = rng.uniform(8, 40)
+    for j in range(n_cars):
+        cls = classes[j % len(classes)] if len(classes) > 1 else classes[0]
+        # trucks are ~2x car size: push them further out so they stay
+        # fully inside the image (recipe "easy" must not truncate)
+        z = rng.uniform(16, 40) if cls == "Truck" else rng.uniform(8, 40)
         x = rng.uniform(-0.35, 0.35) * z * 0.5
-        objs.append(_car(rng, x, z))
+        objs.append(_obj(rng, x, z, cls))
     return objs
 
 
@@ -168,8 +190,15 @@ def label_lines(objs, p2) -> str:
 
 
 def build_fixture(root: str, n_train: int = 4, n_val: int = 2,
-                  seed: int = 0, split_name: str = "3dop") -> str:
-    """Write a synthetic KITTI tree under `root`/kitti; returns the data dir."""
+                  seed: int = 0, split_name: str = "3dop",
+                  classes: Tuple[str, ...] = ("Car", "Van", "Truck")) -> str:
+    """Write a synthetic KITTI tree under `root`/kitti; returns the data dir.
+
+    Scenes 0-1 stay Car-only easy (the 2-scene overfit calibration depends
+    on them); from scene 2 on, filler objects cycle through `classes`
+    (rotated per scene) so the per-class decode bucketing, merge threshold
+    and the multi-class train->detect->eval loop are exercised
+    (stereoDataset.py:21 trains Car/Van/Truck)."""
     try:
         import cv2
     except Exception:
@@ -196,7 +225,11 @@ def build_fixture(root: str, n_train: int = 4, n_val: int = 2,
             recipe = "truncated"
         else:
             recipe = "easy"
-        objs = make_scene(rng, n_cars=rng.randint(1, 4), recipe=recipe)
+        scene_classes = (("Car",) if i < 2 else
+                         tuple(classes[(i + j) % len(classes)]
+                               for j in range(len(classes))))
+        objs = make_scene(rng, n_cars=rng.randint(1, 4), recipe=recipe,
+                          classes=scene_classes)
         tex_rng = np.random.RandomState(1000 + i)
         img_l = _render(objs, p2, np.random.RandomState(1000 + i))
         img_r = _render(objs, p3, np.random.RandomState(1000 + i))

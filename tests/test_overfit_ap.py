@@ -140,7 +140,8 @@ def run_overfit_ap(tmp, epochs=160, lr=1e-3, input_hw=(128, 384),
     return aps, errors
 
 
-def run_overfit_variants(tmp, variants=("clean", "ry_flip", "depth_sign"),
+def run_overfit_variants(tmp, variants=("clean", "ry_flip", "depth_sign",
+                                        "class_shift"),
                          **kw):
     """One train + ONE inference pass, evaluated once per variant.
 
@@ -182,7 +183,17 @@ def _save_and_eval(results, results_raw, base, save_dir, inject=None,
     from side_tpu.config import CLASS_NAMES
     from side_tpu.postprocess.post_process import save_kitti_results
 
-    if inject:
+    if inject == "class_shift":
+        # rotate every class bucket by one (Car->Van->Truck->Car): the
+        # calibration for class-offset bugs in the per-class decode
+        # bucketing / merge.  The evaluator only counts detections OF the
+        # evaluated class, so car AP (2D included) must drop to 0.
+        for img in list(results.keys()):
+            per_cls = results[img]
+            keys = sorted(per_cls.keys())
+            results[img] = {keys[(i + 1) % len(keys)]: per_cls[k]
+                            for i, k in enumerate(keys)}
+    elif inject:
         # floor calibration: corrupt one convention and watch AP collapse
         # (row layout: [alpha, bbox x4, dim x3, loc x3, ry, score])
         for per_cls in results.values():
@@ -231,22 +242,30 @@ def _save_and_eval(results, results_raw, base, save_dir, inject=None,
         return best, best_iou
 
     for vid in val_ids:
-        gt_rows = _read_kitti(os.path.join(gt_dir, f"{vid}.txt"))
-        pr_rows = _read_kitti(os.path.join(save_dir, "results", f"{vid}.txt"))
-        raw_rows = _read_kitti(os.path.join(raw_dir, "results", f"{vid}.txt"))
+        gt_rows = _read_kitti(os.path.join(gt_dir, f"{vid}.txt"), ALL_CLASSES)
+        pr_rows = _read_kitti(os.path.join(save_dir, "results",
+                                           f"{vid}.txt"), ALL_CLASSES)
+        raw_rows = _read_kitti(os.path.join(raw_dir, "results",
+                                            f"{vid}.txt"), ALL_CLASSES)
         for g in gt_rows:
+            # match by 2D IoU over ALL classes, then record whether the
+            # predicted class is right (a class-confusion bug keeps the
+            # boxes but flips cls_ok to False)
             best, best_iou = _best_match(g, pr_rows)
             braw, _ = _best_match(g, raw_rows)
             z_cv = (abs(g["loc"][2] - braw["loc"][2])
                     if braw is not None else np.inf)
             if best is None:
                 errors.append({"iou": 0.0, "z": np.inf, "ry": np.inf,
-                               "z_cv": z_cv})
+                               "z_cv": z_cv, "gt_type": g["type"],
+                               "cls_ok": False})
                 continue
             ry_err = abs((g["ry"] - best["ry"] + np.pi) % (2 * np.pi) - np.pi)
             errors.append({"iou": best_iou,
                            "z": abs(g["loc"][2] - best["loc"][2]),
-                           "ry": ry_err, "z_cv": z_cv})
+                           "ry": ry_err, "z_cv": z_cv,
+                           "gt_type": g["type"],
+                           "cls_ok": best["type"] == g["type"]})
     if verbose:
         for e in errors:
             print(f"[overfit] obj: iou2d={e['iou']:.3f} "
@@ -255,15 +274,19 @@ def _save_and_eval(results, results_raw, base, save_dir, inject=None,
     return aps, errors
 
 
-def _read_kitti(path):
+ALL_CLASSES = ("Car", "Van", "Truck")
+
+
+def _read_kitti(path, classes=("Car",)):
     rows = []
     if not os.path.exists(path):
         return rows
     for ln in open(path):
         f = ln.split()
-        if not f or f[0] != "Car":
+        if not f or f[0] not in classes:
             continue
-        rows.append({"bbox": [float(v) for v in f[4:8]],
+        rows.append({"type": f[0],
+                     "bbox": [float(v) for v in f[4:8]],
                      "dim": [float(v) for v in f[8:11]],
                      "loc": [float(v) for v in f[11:14]],
                      "ry": float(f[14])})
@@ -327,17 +350,27 @@ def test_fixture_acceptance_16scene(tmp_path):
     out = run_overfit_variants(str(tmp_path), epochs=epochs, n_scenes=16,
                                batch_size=4, verbose=True)
     aps, errors = out["clean"]
-    # calibrated clean-run numbers (TPU, 240 ep): AP3D/BEV 12.5/12.0/12.0,
-    # AP2D 36/55/73, all 30 GT detected, z_med 0.83, z_cv_med 0.42
+    # clean-run reference numbers: see the round-5 acceptance table in
+    # STATUS.md (3-class fixture: 22 Car + 8 Van + 5 Truck GT objects)
     assert "car_detection_3d" in aps, aps
     for metric in ("car_detection_3d", "car_detection_ground"):
         assert min(aps[metric]) >= 5.0, (metric, aps)
-    assert len(errors) >= 24, f"expected ~30 GT objects, got {len(errors)}"
+    assert len(errors) >= 24, f"expected ~35 GT objects, got {len(errors)}"
     assert all(e["iou"] > 0 for e in errors), "undetected GT object"
     assert min(e["iou"] for e in errors) >= 0.6, errors
     z_cv = [e["z_cv"] for e in errors]
     assert float(np.median(z_cv)) <= 1.0, errors
     assert max(e["ry"] for e in errors) <= 0.5, errors
+
+    # multi-class coverage (VERDICT r4 missing #3): the fixture now mixes
+    # Car/Van/Truck; every class must appear, be detected, and carry the
+    # RIGHT predicted class through decode -> merge -> txt
+    seen = {e["gt_type"] for e in errors}
+    assert seen == {"Car", "Van", "Truck"}, seen
+    for cls in sorted(seen):
+        cls_errs = [e for e in errors if e["gt_type"] == cls]
+        assert all(e["cls_ok"] for e in cls_errs), (cls, cls_errs)
+        assert min(e["iou"] for e in cls_errs) >= 0.6, (cls, cls_errs)
 
     # floor calibration: each injected convention bug must zero AP3D/APBEV
     # while leaving 2D AP intact (proves the floor is discriminative, not
@@ -348,6 +381,12 @@ def test_fixture_acceptance_16scene(tmp_path):
         assert max(v_aps["car_detection_ground"]) == 0.0, (variant, v_aps)
         assert v_aps["car_detection"] == aps["car_detection"], (variant,
                                                                 v_aps)
+    # a class-offset bug (buckets rotated by one) must zero even the 2D
+    # car AP (the evaluator only counts detections OF the evaluated class)
+    # and flip cls_ok to False on every matched GT
+    s_aps, s_errors = out["class_shift"]
+    assert max(s_aps.get("car_detection", (0.0,))) == 0.0, s_aps
+    assert not any(e["cls_ok"] for e in s_errors), s_errors
 
 
 if __name__ == "__main__":

@@ -60,6 +60,13 @@ def main():
             "z_max": float(_fmax([e["z"] for e in errors])),
             "z_cv_med": float(_med([e["z_cv"] for e in errors])),
             "ry_max": float(_fmax([e["ry"] for e in errors])),
+            "per_class": {
+                cls: {"n": len(ce),
+                      "detected": sum(1 for e in ce if e["iou"] > 0),
+                      "cls_ok": sum(1 for e in ce if e.get("cls_ok"))}
+                for cls in sorted({e.get("gt_type", "Car") for e in errors})
+                for ce in [[e for e in errors
+                            if e.get("gt_type", "Car") == cls]]},
         }
         runs[tag] = summary
         print(json.dumps(summary), flush=True)
