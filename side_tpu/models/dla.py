@@ -17,6 +17,7 @@ grouped convolution.
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -55,11 +56,18 @@ class FoldedBatchNorm(nn.Module):
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
     dtype: Any = jnp.float32
+    # >1: the channel axis is phase-packed as (phase, C) — lane p*C + c is
+    # spatial phase p of original channel c (space-to-depth stem, see
+    # DLA.__call__).  Params/stats stay (C,) and the statistics are EXACTLY
+    # the full-resolution ones: every full-res position appears in exactly
+    # one phase, so the per-c moments pooled over (batch, H', W', phase)
+    # equal the full-res moments over (batch, H, W).
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
-        axes = tuple(range(x.ndim - 1))
+        P = self.phases
+        C = x.shape[-1] // P
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -73,6 +81,9 @@ class FoldedBatchNorm(nn.Module):
             # into the reduce); under pjit the sharded-batch mean inserts
             # the cross-device collective automatically (sync-BN)
             xf = x.astype(jnp.float32)
+            if P > 1:
+                xf = xf.reshape(*x.shape[:-1], P, C)
+            axes = tuple(range(xf.ndim - 1))
             mean = jnp.mean(xf, axes)
             var = jnp.maximum(
                 jnp.mean(jnp.square(xf), axes) - jnp.square(mean), 0.0)
@@ -82,6 +93,8 @@ class FoldedBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         a = scale * jax.lax.rsqrt(var + self.epsilon)
         b = bias - mean * a
+        if P > 1:
+            a, b = jnp.tile(a, P), jnp.tile(b, P)   # lane p*C+c -> a[c]
         dt = jnp.dtype(self.dtype)
         if dt == jnp.float32:
             return x * a + b
@@ -97,8 +110,86 @@ class FoldedBatchNorm(nn.Module):
         return (x.astype(jnp.float32) * a + b).astype(dt)
 
 
+def _space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel (py*2+px)*C + c."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _depth_to_space(x):
+    """Inverse of _space_to_depth."""
+    B, H, W, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, H, W, 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * 2, W * 2, C)
+
+
+def _s2d_entries(K: int, stride: int):
+    """Static scatter indices mapping a full-res KxK kernel into its
+    space-to-depth equivalent (see DLA.__call__ s2d stem).
+
+    stride 1: out phase (pi,pj) at full-res (2i+pi, 2j+pj); input s2d
+    channel (py,px,c) at s2d (i+q, j+r) is full-res (2(i+q)+py, 2(j+r)+px),
+    so kernel tap u = 2q + py - pi (|u| <= K//2) -> q = (u+pi-py)/2; every
+    (u, pi) pair has exactly one (q, py).  Returns (S, pad, idx arrays).
+
+    stride 2 (K odd, pad K//2): out (i,j) at full-res (2i, 2j); tap offset
+    o = u - K//2 = 2q + py -> q = o//2, py = o - 2q; q in [o_min//2, o_max//2]
+    with asymmetric s2d padding (-q_min, q_max)."""
+    k2 = K // 2
+    qs, rs, pin_, pout, us, vs = [], [], [], [], [], []
+    if stride == 1:
+        Q = (k2 + 1) // 2
+        for pi in range(2):
+            for pj in range(2):
+                for u in range(-k2, k2 + 1):
+                    for v in range(-k2, k2 + 1):
+                        py = (u + pi) % 2
+                        px = (v + pj) % 2
+                        qs.append((u + pi - py) // 2 + Q)
+                        rs.append((v + pj - px) // 2 + Q)
+                        pin_.append(py * 2 + px)
+                        pout.append(pi * 2 + pj)
+                        us.append(u + k2)
+                        vs.append(v + k2)
+        S, pad = 2 * Q + 1, ((Q, Q), (Q, Q))
+    else:
+        qmin, qmax = (-k2) // 2, k2 // 2
+        for u in range(-k2, k2 + 1):
+            for v in range(-k2, k2 + 1):
+                qs.append(u // 2 - qmin)
+                rs.append(v // 2 - qmin)
+                pin_.append((u - 2 * (u // 2)) * 2 + (v - 2 * (v // 2)))
+                pout.append(0)
+                us.append(u + k2)
+                vs.append(v + k2)
+        S, pad = qmax - qmin + 1, ((-qmin, qmax), (-qmin, qmax))
+    arr = tuple(np.asarray(a) for a in (qs, rs, pin_, pout, us, vs))
+    return S, pad, arr
+
+
+def _s2d_kernel(w, stride: int, pout: int):
+    """Expand (K, K, Cin, Cout) full-res weights into the space-to-depth
+    kernel (S, S, 4*Cin, pout*Cout); linear in w, built by ONE static
+    scatter so the VJP is a gather."""
+    K, _, Cin, Cout = w.shape
+    S, pad, (qs, rs, pin_, po, us, vs) = _s2d_entries(K, stride)
+    k6 = jnp.zeros((S, S, 4, Cin, pout, Cout), w.dtype)
+    k6 = k6.at[qs, rs, pin_, :, po, :].set(w[us, vs])
+    return k6.reshape(S, S, 4 * Cin, pout * Cout), pad
+
+
 class ConvBN(nn.Module):
-    """conv (no bias) + BN + optional ReLU."""
+    """conv (no bias) + BN + optional ReLU.
+
+    `s2d_in`/`s2d_out` run the SAME convolution on a space-to-depth
+    (half-res, 4x-channel) activation layout — parameters, shapes and
+    math are unchanged (kernel expanded via _s2d_kernel; BN statistics
+    phase-grouped), only the on-device layout differs.  Used by the DLA
+    stem where full-res C=16 maps otherwise force XLA into spatially-
+    reblocked layouts with ~25 ms/step of relayout copies (round-5
+    train profile)."""
     features: int
     kernel: int = 3
     stride: int = 1
@@ -107,17 +198,50 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        pad = self.dilation * (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride, padding=pad,
-                    kernel_dilation=self.dilation, use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype)(x)
+    def __call__(self, x, train: bool = False,
+                 s2d_in: bool = False, s2d_out: bool = False):
+        if s2d_in:
+            assert self.dilation == 1
+            cin = x.shape[-1] // 4
+            w = self.param2("Conv_0", "kernel",
+                            (self.kernel, self.kernel, cin, self.features))
+            if self.stride == 1:
+                assert s2d_out
+                kern, pad = _s2d_kernel(w, 1, 4)
+            else:
+                assert self.stride == 2 and not s2d_out
+                kern, pad = _s2d_kernel(w, 2, 1)
+            dt = jnp.dtype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                x.astype(dt), kern.astype(dt), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            pad = self.dilation * (self.kernel - 1) // 2
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=self.stride, padding=pad,
+                        kernel_dilation=self.dilation, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype)(x)
         # BN statistics stay f32; the folded apply runs in the compute
         # dtype (name pinned so the param tree matches nn.BatchNorm)
         x = FoldedBatchNorm(use_running_average=not train,
-                            dtype=self.dtype, name="BatchNorm_0")(x)
+                            dtype=self.dtype, name="BatchNorm_0",
+                            phases=4 if (s2d_in and self.stride == 1) else 1
+                            )(x)
         return nn.relu(x) if self.relu else x
+
+    def param2(self, mod: str, name: str, shape):
+        """Declare `mod/name` (the path nn.Conv would use) directly, so the
+        s2d apply shares the identical parameter tree with the plain one."""
+        holder = _ConvKernel(shape, name=mod)
+        return holder()
+
+
+class _ConvKernel(nn.Module):
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_init, self.shape, jnp.float32)
 
 
 class BasicBlock(nn.Module):
@@ -214,16 +338,39 @@ class DLA(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         ch = self.channels
-        x = ConvBN(ch[0], 7, 1, dtype=self.dtype)(x, train)
-        outs = []
-        # level0/level1: plain conv stages
-        y = x
-        for _ in range(self.levels[0]):
-            y = ConvBN(ch[0], 3, 1, dtype=self.dtype)(y, train)
-        outs.append(y)
-        for i in range(self.levels[1]):
-            y = ConvBN(ch[1], 3, 2 if i == 0 else 1, dtype=self.dtype)(y, train)
-        outs.append(y)
+        # Space-to-depth stem (default): the three full-res stages run on a
+        # (H/2, W/2, 4C) phase-packed layout — mathematically identical
+        # (kernels expanded from the SAME parameters via _s2d_kernel, BN
+        # statistics phase-grouped), but C=12/64 lanes instead of C=3/16,
+        # which stops XLA spatially reblocking the convs and relayout-
+        # copying between every op (58.8 -> ~6 ms/step of the 264 ms
+        # batch-2 train step, round-5 profile).  Exactness vs the plain
+        # stem is asserted by tests/test_model.py::test_s2d_stem_parity.
+        s2d = (_os.environ.get("SIDE_TPU_STEM", "s2d") == "s2d"
+               and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+               and self.levels[0] == 1 and self.levels[1] == 1)
+        if s2d:
+            y = _space_to_depth(x)
+            y = ConvBN(ch[0], 7, 1, dtype=self.dtype)(
+                y, train, s2d_in=True, s2d_out=True)
+            y = ConvBN(ch[0], 3, 1, dtype=self.dtype)(
+                y, train, s2d_in=True, s2d_out=True)
+            # level0 at full res is dead for down_ratio >= 2 (XLA DCEs it)
+            outs = [_depth_to_space(y)]
+            y = ConvBN(ch[1], 3, 2, dtype=self.dtype)(y, train, s2d_in=True)
+            outs.append(y)
+        else:
+            x = ConvBN(ch[0], 7, 1, dtype=self.dtype)(x, train)
+            outs = []
+            # level0/level1: plain conv stages
+            y = x
+            for _ in range(self.levels[0]):
+                y = ConvBN(ch[0], 3, 1, dtype=self.dtype)(y, train)
+            outs.append(y)
+            for i in range(self.levels[1]):
+                y = ConvBN(ch[1], 3, 2 if i == 0 else 1,
+                           dtype=self.dtype)(y, train)
+            outs.append(y)
         # level2..5: trees
         y = Tree(self.levels[2], ch[1], ch[2], 2, level_root=False,
                  root_residual=self.residual_root, dtype=self.dtype)(

@@ -189,15 +189,21 @@ def _eye_expand(w2, B: int):
     """(..., A, D) -> (..., A*B, D*B) block-diagonal batch expansion:
     out[..., a*B + b, d*B + e] = w2[..., a, d] * (b == e).
 
-    Built as ONE broadcast multiply in output-index order so XLA writes the
-    result row-major directly.  The previous einsum("...ad,be->...abde")
-    form lowered to a multiply in a transposed layout plus a relayout copy
-    per DCN layer per step — measured ~9 ms/step of pure data formatting in
-    the batch-2 train profile (prov: ".../kco,bd->kcbod/tr" copies)."""
+    Built entirely in the FINAL 2D layout: repeat rows by B (sublanes),
+    repeat cols by B (lanes), then zero the off-diagonal entries with an
+    iota mask evaluated in the same layout.  The earlier 5D broadcast
+    forms ((..., A, B, D, B) multiplies) put B=4 in the minor dim — 4 of
+    128 lanes — and XLA added a relayout copy per materialisation: the
+    round-5 train profile showed ~9 ms/step of such multiplies + copies
+    across the fwd/d_x/d_coord weight expansions (prov "kco,bd->kcbod")."""
     A, D = w2.shape[-2:]
-    eyeB = jnp.eye(B, dtype=w2.dtype)
-    out = w2[..., :, None, :, None] * eyeB[:, None, :]
-    return out.reshape(*w2.shape[:-2], A * B, D * B)
+    if B == 1:
+        return w2
+    wr = jnp.repeat(w2, B, axis=-2)           # (..., A*B, D)
+    wrc = jnp.repeat(wr, B, axis=-1)          # (..., A*B, D*B), lane=d*B+e
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (A * B, D * B), 0) % B ==
+            jax.lax.broadcasted_iota(jnp.int32, (A * B, D * B), 1) % B)
+    return wrc * mask.astype(w2.dtype)
 
 
 def _vmem_request(need_bytes: int) -> int:
@@ -982,12 +988,19 @@ def _dcn_fwd(x, offset18, mask, weight, bias, radius):
 # and the measured train step drops 645 -> 527 ms/batch-2 (3.1 -> 3.8
 # pairs/s).  The round-2 compile blow-up was the pre-restructure kernel.
 _BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "pallas")
+# largest channel count routed to the packed Pallas backward (bisection
+# knob; layers above it take the XLA windowed VJP)
+_BWD_CMAX = int(_os.environ.get("SIDE_TPU_DCN_BWD_CMAX", "256"))
 
 
 def _dcn_bwd(radius, res, g):
     x, offset18, mask, weight, bias = res
     B, H, W, C = x.shape
-    if _BWD == "pallas" and _PACK and B > 1 and C <= 128:
+    # C <= 256 (round 5, was 128): the C=256 DLA-up layers' XLA windowed
+    # VJP shatters into lane-dim-1 copies + loop fusions (~10 ms of the
+    # 264 ms batch-2 train step); with gs = 512//C = 2 they pack the same
+    # way as the C<=128 layers and their (24, 80) extents fit easily.
+    if _BWD == "pallas" and _PACK and B > 1 and C <= _BWD_CMAX:
         from .dcn_pallas_bwd import dcn_packed_backward, packed_backward_fits
         gs = next((n for n in range(min(B, 512 // C), 1, -1)
                    if B % n == 0 and packed_backward_fits(H, W, n, C,

@@ -144,14 +144,22 @@ def _dx_kernel(gp_ref, off_ref, mask_ref, wT_ref, dx_ref,
 
 def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
                    doff_ref, dmask_ref, dw_ref,
-                   x32_ref, gw_ref, acc_ref, ady_ref, adx_ref, *,
+                   x32_ref, *scratch,
                    W, C, Cout, P, tile_h, R, PAD):
     """d_offset / d_mask / d_weight for one row-tile: forward column
-    recompute with tri' accumulators (col2im_coord analogue)."""
+    recompute with tri' accumulators (col2im_coord analogue).
+
+    In lerp mode (production) the per-tap column value and its two offset
+    derivatives are carried as VALUES — the earlier form round-tripped
+    them through three CP-wide VMEM scratch refs per tap (write + read of
+    tile_h*W*CP f32 each, 9 taps), pure bandwidth with no reuse.  The tri
+    fallback keeps the refs: its fori_loop accumulators must be refs."""
     t = pl.program_id(1)
     CP = P * C
     CoP = P * Cout
     S = 2 * R + 1      # s = R+1 shifts are identically zero (see _dx_kernel)
+    if _BWD_ACCUM != "lerp":
+        gw_ref, acc_ref, ady_ref, adx_ref = scratch
 
     x32_ref[:] = x_ref[0].astype(jnp.float32)      # windowed x block
     g_tile = g_ref[0]                              # (tile_h, W, CoP)
@@ -160,11 +168,13 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
 
     for k in range(9):
         ty, tx = k // 3, k % 3
-        gw_ref[:] = jax.lax.dot_general(
+        gw = jax.lax.dot_general(
             g_tile.reshape(tile_h * W, CoP),
             wT_ref[k * CoP:(k + 1) * CoP, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(tile_h, W, CP)
+        if _BWD_ACCUM != "lerp":
+            gw_ref[:] = gw
 
         dy_raw = offs[:, :, 2 * k * P:(2 * k + 1) * P]
         dx_raw = offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P]
@@ -218,9 +228,8 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
                     dlo = jnp.where(m, row_dx[i], dlo)
                     dhi = jnp.where(m, row_dx[i + 1], dhi)
             ady_v = vhi - vlo
-            acc_ref[:] = vlo + ady_v * fy
-            ady_ref[:] = ady_v
-            adx_ref[:] = dlo + (dhi - dlo) * fy
+            acc = vlo + ady_v * fy
+            adx = dlo + (dhi - dlo) * fy
         else:
             wx = [jnp.maximum(0.0, 1.0 - jnp.abs(dxE - s)) for s in
                   range(-R, R + 1)]
@@ -260,12 +269,15 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
                 return carry
 
             jax.lax.fori_loop(0, S, row_body, 0)
+            gw = gw_ref[:]
+            acc = acc_ref[:]
+            ady_v = ady_ref[:]
+            adx = adx_ref[:]
 
-        gm = gw_ref[:]
-        dmask = _lane_reduce((acc_ref[:] * gm).reshape(tile_h * W, CP), P)
-        gmm = gm * mkE
-        ddy = _lane_reduce((ady_ref[:] * gmm).reshape(tile_h * W, CP), P)
-        ddx = _lane_reduce((adx_ref[:] * gmm).reshape(tile_h * W, CP), P)
+        dmask = _lane_reduce((acc * gw).reshape(tile_h * W, CP), P)
+        gmm = gw * mkE
+        ddy = _lane_reduce((ady_v * gmm).reshape(tile_h * W, CP), P)
+        ddx = _lane_reduce((adx * gmm).reshape(tile_h * W, CP), P)
         # clip rule: zero gradient where the raw offset left [-R, R]
         ddy = ddy.reshape(tile_h, W, P) * \
             (jnp.abs(dy_raw) <= R).astype(jnp.float32)
@@ -277,7 +289,7 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
 
         # d_weight: accumulate (cols * mask)^T @ g across tiles
         dwk = jax.lax.dot_general(
-            (acc_ref[:] * mkE).reshape(tile_h * W, CP),
+            (acc * mkE).reshape(tile_h * W, CP),
             g_tile.reshape(tile_h * W, CoP),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -463,11 +475,9 @@ def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, B, H, W, C, Cout,
             jax.ShapeDtypeStruct((1, H, W, 9 * B), jnp.float32),
             jax.ShapeDtypeStruct((9, CP, CoP), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((win_rows, Wx, CP), jnp.float32),
-                        pltpu.VMEM((tile_dc, W, CP), jnp.float32),
-                        pltpu.VMEM((tile_dc, W, CP), jnp.float32),
-                        pltpu.VMEM((tile_dc, W, CP), jnp.float32),
-                        pltpu.VMEM((tile_dc, W, CP), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((win_rows, Wx, CP), jnp.float32)] +
+        ([] if _BWD_ACCUM == "lerp" else
+         [pltpu.VMEM((tile_dc, W, CP), jnp.float32)] * 4),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem_dc),

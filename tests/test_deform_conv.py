@@ -548,3 +548,38 @@ def test_pallas_fused_om_matches_unfused():
     for a, bb in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_pallas_backward_c256_group_split():
+    """The C=256 DLA-up layers now take the packed Pallas backward via the
+    sub-batch group split (gs = 512//C = 2) instead of the XLA windowed
+    VJP (dcn_pallas._dcn_bwd round 5).  Parity of every cotangent against
+    jax.vjp of deform_conv2d_windowed, interpret mode."""
+    import unittest.mock as um
+    from side_tpu.ops import dcn_pallas as DP
+    from side_tpu.ops.dcn_pallas_bwd import dcn_packed_backward
+    from side_tpu.ops.deform_conv import deform_conv2d_windowed
+
+    rng = np.random.RandomState(5)
+    B, H, W, Cin, Cout, R = 4, 8, 16, 256, 64, 1
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.1, jnp.float32)
+    off = jnp.asarray(rng.uniform(-1.4, 1.4, (B, H, W, 18)), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+    g = jnp.asarray(rng.randn(B, H, W, Cout) * 0.1, jnp.float32)
+
+    def xla_eq(x, off, mask, w, b):
+        return deform_conv2d_windowed(x, off.reshape(B, H, W, 9, 2), mask,
+                                      w, b, stride=1, padding=1, dilation=1,
+                                      radius=R)
+
+    _, vjp = jax.vjp(xla_eq, x, off, mask, w, jnp.zeros((Cout,)))
+    want = vjp(g)
+    with um.patch("side_tpu.ops.dcn_pallas_bwd.pl.pallas_call",
+                  functools.partial(DP.pl.pallas_call, interpret=True)):
+        got = DP._dcn_bwd(R, (x, off, mask, w, jnp.zeros((Cout,))), g)
+    for n, a, b in zip(["d_x", "d_off", "d_mask", "d_w", "d_b"], got, want):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        err = np.abs(a - b).max()
+        assert err / (np.abs(b).max() + 1e-6) < 2e-3, (n, err)

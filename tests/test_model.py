@@ -197,3 +197,70 @@ def test_folded_bn_bf16_large_mean_parity():
     err = np.abs(got - want)
     assert float(err.max()) < 0.15, float(err.max())
     assert float(err.mean()) < 0.03, float(err.mean())
+
+
+def test_s2d_stem_parity(monkeypatch):
+    """The space-to-depth stem must be mathematically identical to the
+    plain full-res stem: same parameter tree, same outputs, same batch
+    statistics, same gradients (DLA.__call__ s2d branch; kernels expanded
+    by _s2d_kernel from the SAME weights)."""
+    from side_tpu.models.dla import DLA
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 32, 64, 3), jnp.float32)
+    model = DLA(dtype=jnp.float32)
+    monkeypatch.setenv("SIDE_TPU_STEM", "plain")
+    vs = model.init(jax.random.PRNGKey(1), x)
+    # randomise running stats so the eval path is exercised too
+    bs = jax.tree_util.tree_map(
+        lambda v: v + jnp.asarray(
+            np.random.RandomState(9).uniform(0.1, 0.9, v.shape), v.dtype),
+        vs["batch_stats"])
+    vs = {"params": vs["params"], "batch_stats": bs}
+
+    def run(train):
+        outs = {}
+        for mode in ("plain", "s2d"):
+            monkeypatch.setenv("SIDE_TPU_STEM", mode)
+            if train:
+                outs[mode] = model.apply(vs, x, train=True,
+                                         mutable=["batch_stats"])
+            else:
+                outs[mode] = (model.apply(vs, x), None)
+        return outs
+
+    for train in (False, True):
+        o = run(train)
+        for a, b in zip(o["plain"][0], o["s2d"][0]):
+            # different conv accumulation order => reassociation noise;
+            # train mode amplifies it through 6 levels of fresh batch-stat
+            # normalisation (a convention bug would be O(1) everywhere)
+            tol = 5e-4 if not train else 1e-2
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2 if train else 1e-3,
+                                       atol=tol)
+        if train:
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4),
+                o["plain"][1], o["s2d"][1])
+
+    # gradient parity through the stem parameters.  The loss reads the
+    # stem-adjacent outputs only: deeper levels re-normalise by fresh
+    # batch statistics at tiny spatial extents, which chaotically
+    # amplifies reassociation noise (isolated: stem-local grads agree to
+    # ~1e-5; a convention bug would be O(1))
+    def loss(params, mode):
+        monkeypatch.setenv("SIDE_TPU_STEM", mode)
+        outs, _ = model.apply({"params": params, "batch_stats": bs}, x,
+                              train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(o * o) for o in outs[1:3])
+
+    g_plain = jax.grad(loss)(vs["params"], "plain")
+    g_s2d = jax.grad(loss)(vs["params"], "s2d")
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_plain)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(g_s2d)
+    for (pa, a), (_, b) in zip(flat_p, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=jax.tree_util.keystr(pa))
