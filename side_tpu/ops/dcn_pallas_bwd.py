@@ -58,6 +58,16 @@ from . import dcn_pallas as _fwd
 #   (kept for bisection; zero gradient at integer offsets).
 _BWD_ACCUM = _os.environ.get("SIDE_TPU_DCN_BWD_ACCUM", "lerp")
 
+# Roofline probe bodies (SIDE_TPU_DCN_BWD_ROOF, tools/dcn_bwd_roofline.py):
+# "" (production), or calibration variants that keep the IDENTICAL kernel
+# plumbing (grid, halo windows, scratch, MXU matmuls, outputs) while
+# swapping the per-tap arithmetic for bodies of known CP-wide op counts —
+# "lerp0" = fixed-neighbour-base bilinear (the op floor of ANY fractional
+# backward; not a valid DCN), "copy" = static-window data movement only.
+# Mirrors the forward roofline (dcn_pallas._ACCUM lerp0/copy) that pinned
+# the forward at <=1.10x its floor.  NEVER valid gradients; test-guarded.
+_ROOF = _os.environ.get("SIDE_TPU_DCN_BWD_ROOF", "")
+
 
 def _lane_reduce(v, P: int):
     """(n, C*P) -> (n, P): sum over each image's C lanes (c-major packing).
@@ -124,21 +134,51 @@ def _dx_kernel(gp_ref, off_ref, mask_ref, wT_ref, dx_ref,
         dxE_ref[:] = _fwd._lane_expand(
             jnp.clip(offs[:, :, (2 * k + 1) * P:(2 * k + 2) * P], -R, R), C)
 
-        def sy_body(i, carry, ty=ty, tx=tx):
-            ro = 2 * R + 3 - ty - i
-            syf = i.astype(jnp.float32) - R
-            wyS = jnp.maximum(
-                0.0, 1.0 - jnp.abs(dyE_ref[pl.ds(ro, tile_h)] - syf))
-            vy = wyS * u_ref[pl.ds(ro, tile_h)]         # (tile_h, Wp, CP)
-            dxS = dxE_ref[pl.ds(ro, tile_h)]
-            for sx in range(-R, R + 1):
-                cx = G + 1 - tx - sx
-                wxS = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dxS[:, cx:cx + W, :] - sx))
-                acc_ref[:] = acc_ref[:] + vy[:, cx:cx + W, :] * wxS
-            return carry
+        if _ROOF == "copy":
+            # roofline probe: static-window adds only — identical slice
+            # traffic and tap loop, zero weight arithmetic (~3 CP-wide
+            # ops/tap/sy vs production ~23)
+            def sy_body(i, carry, ty=ty, tx=tx):
+                ro = 2 * R + 3 - ty - i
+                vy = u_ref[pl.ds(ro, tile_h)]
+                for sx in range(-R, R + 1):
+                    cx = G + 1 - tx - sx
+                    acc_ref[:] = acc_ref[:] + vy[:, cx:cx + W, :]
+                return carry
 
-        jax.lax.fori_loop(0, S, sy_body, 0)
+            jax.lax.fori_loop(0, S, sy_body, 0)
+        elif _ROOF == "lerp0":
+            # roofline probe: fixed-neighbour-base bilinear — the floor of
+            # ANY fractional col2im (each tap sample touches exactly 2x2
+            # input neighbours); static rows/cols, frac-lerp weights, no
+            # abs/max, no 3x3 shift sweep (~16 CP-wide ops/tap)
+            for iy in (R, R + 1):
+                ro = 2 * R + 3 - ty - iy
+                fy = dyE_ref[ro:ro + tile_h]
+                wy = fy if iy > R else 1.0 - fy
+                vy = wy * u_ref[ro:ro + tile_h]
+                fx = dxE_ref[ro:ro + tile_h]
+                for sx in (0, 1):
+                    cx = G + 1 - tx - sx
+                    fxs = fx[:, cx:cx + W, :]
+                    wxS = fxs if sx else 1.0 - fxs
+                    acc_ref[:] = acc_ref[:] + vy[:, cx:cx + W, :] * wxS
+        else:
+            def sy_body(i, carry, ty=ty, tx=tx):
+                ro = 2 * R + 3 - ty - i
+                syf = i.astype(jnp.float32) - R
+                wyS = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dyE_ref[pl.ds(ro, tile_h)] - syf))
+                vy = wyS * u_ref[pl.ds(ro, tile_h)]     # (tile_h, Wp, CP)
+                dxS = dxE_ref[pl.ds(ro, tile_h)]
+                for sx in range(-R, R + 1):
+                    cx = G + 1 - tx - sx
+                    wxS = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dxS[:, cx:cx + W, :] - sx))
+                    acc_ref[:] = acc_ref[:] + vy[:, cx:cx + W, :] * wxS
+                return carry
+
+            jax.lax.fori_loop(0, S, sy_body, 0)
     dx_ref[0] = acc_ref[:].astype(dx_ref.dtype)
 
 
@@ -184,7 +224,34 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
         dxE = _fwd._lane_expand(dx, C)
         mkE = _fwd._lane_expand(masks[:, :, k * P:(k + 1) * P], C)
 
-        if _BWD_ACCUM == "lerp":
+        if _ROOF == "copy" and _BWD_ACCUM == "lerp":
+            # roofline probe: static center window — one slice read per
+            # tap; the value/derivative streams alias it (data-movement +
+            # MXU floor; the lane-reduce/d_weight matmuls below run as in
+            # production)
+            xs = x32_ref[ty + R:ty + R + tile_h]
+            c0 = PAD - 1 + tx
+            acc = xs[:, c0:c0 + W, :]
+            ady_v = acc
+            adx = acc
+        elif _ROOF == "lerp0" and _BWD_ACCUM == "lerp":
+            # roofline probe: fixed-neighbour-base bilinear recompute — the
+            # op floor of ANY fractional col2im_coord (2x2 window, frac
+            # lerp + derivative reads, no floor/clip/selects): ~12 CP-wide
+            # ops/tap vs production ~34
+            fy, fx = dyE, dxE
+            row = []
+            for sy in (0, 1):
+                xs = x32_ref[ty + sy + R:ty + sy + R + tile_h]
+                c0 = PAD - 1 + tx
+                xb = xs[:, c0:c0 + W, :]
+                xb1 = xs[:, c0 + 1:c0 + 1 + W, :]
+                d = xb1 - xb
+                row.append((xb + d * fx, d))
+            ady_v = row[1][0] - row[0][0]
+            acc = row[0][0] + ady_v * fy
+            adx = row[0][1] + (row[1][1] - row[0][1]) * fy
+        elif _BWD_ACCUM == "lerp":
             # recompute the forward column via the production select-lerp
             # (see _BWD_ACCUM / dcn_pallas._ACCUM) and read the offset
             # gradients off the SAME lerp: per y-row, row_val = lo +

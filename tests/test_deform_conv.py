@@ -188,6 +188,7 @@ def test_windowed_gradients_flow():
     assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.golden
 def test_pallas_kernel_matches_windowed():
     """Mosaic windowed-DCN kernel == XLA windowed decomposition (interpret
     mode on CPU; the real lowering is exercised on TPU by the bench)."""
@@ -217,6 +218,7 @@ def test_pallas_kernel_matches_windowed():
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.golden
 def test_pallas_kernel_gradients():
     from side_tpu.ops import dcn_pallas as DP
     import unittest.mock as um
@@ -236,6 +238,7 @@ def test_pallas_kernel_gradients():
     assert float(jnp.abs(g_w).sum()) > 0
 
 
+@pytest.mark.golden
 def test_pallas_fori_matches_full_unroll():
     """The fori-loop kernel variant (production: the fully unrolled one is
     too large for Mosaic to compile in-model) equals the unrolled variant."""
@@ -260,6 +263,7 @@ def test_pallas_fori_matches_full_unroll():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.golden
 def test_pallas_factored_matches_rmw():
     """The factored accumulation (acc += wy * sum_sx(x*wx); opt-in via
     SIDE_TPU_DCN_ACCUM — measured slower than rmw on TPU but kept as the
@@ -288,6 +292,7 @@ def test_pallas_factored_matches_rmw():
                                        rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.golden
 def test_pallas_packed_matches_unpacked():
     """The batch-packed kernel (batch in the lane dim; production for the
     C<=128 DLA layers) equals the per-image kernel: pins the c-major lane
@@ -340,6 +345,7 @@ def test_matmul_lane_pack_roundtrip():
                                       np.asarray(a, np.float32))
 
 
+@pytest.mark.golden
 def test_pallas_lerp_matches_rmw():
     """The select-lerp bilinear formulation (production default: the two
     nonzero triangle neighbours picked by base/frac instead of summing
@@ -373,6 +379,7 @@ def test_pallas_lerp_matches_rmw():
                     err_msg=f"radius={radius} pack={pack}")
 
 
+@pytest.mark.golden
 def test_pallas_backward_nonzero_at_zero_offsets():
     """Training-correctness regression: DCN offset convs are ZERO-initialised
     (dla.py DeformBlock, matching dcn_v2.py:init_offset), so the very first
@@ -413,6 +420,7 @@ def test_pallas_backward_nonzero_at_zero_offsets():
     np.testing.assert_allclose(d_off, ref, atol=5e-3)
 
 
+@pytest.mark.golden
 def test_pallas_packed_backward_matches_xla_vjp():
     """The fused Mosaic backward (col2im / col2im_coord analogues) equals
     jax.vjp of the XLA windowed decomposition for every cotangent,
@@ -449,6 +457,7 @@ def test_pallas_packed_backward_matches_xla_vjp():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.golden
 def test_packed_batch_grouping_matches_windowed():
     """When the whole batch cannot lane-pack (e.g. B=8 at C=64: CP=512 has
     no VMEM-feasible tile — the shape that OOM'd scoped vmem on chip at
@@ -511,6 +520,7 @@ def test_packed_batch_grouping_matches_windowed():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.golden
 def test_pallas_fused_om_matches_unfused():
     """Fused offset-conv packed forward == the unfused composition
     (interpret mode; VERDICT r3 next #1c).  Also checks the fused op's
@@ -550,6 +560,7 @@ def test_pallas_fused_om_matches_unfused():
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.golden
 def test_pallas_backward_c256_group_split():
     """The C=256 DLA-up layers now take the packed Pallas backward via the
     sub-batch group split (gs = 512//C = 2) instead of the XLA windowed
@@ -583,3 +594,54 @@ def test_pallas_backward_c256_group_split():
         b = np.asarray(b, np.float32)
         err = np.abs(a - b).max()
         assert err / (np.abs(b).max() + 1e-6) < 2e-3, (n, err)
+
+
+@pytest.mark.golden
+def test_bwd_roofline_probe_bodies_run():
+    """The roofline probe bodies (SIDE_TPU_DCN_BWD_ROOF lerp0/copy) keep
+    the production plumbing intact: they trace, run in interpret mode, and
+    return full-shape cotangents (values are calibration-only by design —
+    tools/dcn_bwd_roofline.py).  Also guards that _ROOF='' stays the
+    production path."""
+    from side_tpu.ops import dcn_pallas as DP
+    from side_tpu.ops import dcn_pallas_bwd as DPB
+    import unittest.mock as um
+    rng = np.random.RandomState(3)
+    B, H, W, Cin, Cout = 4, 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, Cin) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3, jnp.float32)
+    offset18 = jnp.asarray(rng.uniform(-0.9, 0.9, (B, H, W, 18)),
+                           jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+    g = jnp.asarray(rng.randn(B, H, W, Cout), jnp.float32)
+
+    outs = {}
+    try:
+        for mode in ("", "lerp0", "copy"):
+            DPB._ROOF = mode
+            with um.patch("side_tpu.ops.dcn_pallas_bwd.pl.pallas_call",
+                          functools.partial(DP.pl.pallas_call,
+                                            interpret=True)):
+                outs[mode] = DPB.dcn_packed_backward(
+                    x, offset18, mask, w, g, 1)
+    finally:
+        DPB._ROOF = ""
+    for mode, got in outs.items():
+        assert got[0].shape == x.shape, mode
+        assert got[1].shape == offset18.shape, mode
+        assert got[3].shape == w.shape, mode
+        for o in got:
+            assert np.all(np.isfinite(np.asarray(o))), mode
+
+    # production (_ROOF='') must equal the XLA VJP — the probe branches
+    # must not have perturbed it
+    from side_tpu.ops.deform_conv import deform_conv2d_windowed
+
+    def f(x, o18, m, w):
+        return deform_conv2d_windowed(x, o18.reshape(B, H, W, 9, 2), m, w,
+                                      None, radius=1)
+    _, vjp = jax.vjp(f, x, offset18, mask, w)
+    ref = vjp(g)
+    for a, r in zip(outs[""], ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)

@@ -28,6 +28,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden
+
 REF_LIB = "/root/reference/src/lib"
 
 H_IN, W_IN = 128, 384

@@ -21,6 +21,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden
+
 REF_LIB = "/root/reference/src/lib"
 
 
