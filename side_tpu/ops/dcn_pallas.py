@@ -989,8 +989,13 @@ def _dcn_fwd(x, offset18, mask, weight, bias, radius):
 # pairs/s).  The round-2 compile blow-up was the pre-restructure kernel.
 _BWD = _os.environ.get("SIDE_TPU_DCN_BWD", "pallas")
 # largest channel count routed to the packed Pallas backward (bisection
-# knob; layers above it take the XLA windowed VJP)
-_BWD_CMAX = int(_os.environ.get("SIDE_TPU_DCN_BWD_CMAX", "256"))
+# knob; layers above it take the XLA windowed VJP).  256 packs the C=256
+# DLA-up layers via the gs=2 group split (~10 ms/step of lane-dim-1 XLA
+# VJP copies saved) BUT the two extra CP=512 Mosaic kernels push the
+# batch-2 train-program compile past this image's relay compile-helper
+# memory budget (SIGKILL, round-5 bisection) — default 128; raise it on
+# relays with more compile headroom.
+_BWD_CMAX = int(_os.environ.get("SIDE_TPU_DCN_BWD_CMAX", "128"))
 
 
 def _dcn_bwd(radius, res, g):

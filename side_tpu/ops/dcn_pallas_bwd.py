@@ -54,6 +54,14 @@ from . import dcn_pallas as _fwd
 #   drift via the shared offset_mask conv's mask-channel gradients).  The
 #   lerp form yields the right-derivative subgradient there, matching what
 #   autodiff of the lerp forward would produce.
+# "lerp_vc": the lerp body with the per-tap column value and offset
+#   derivatives carried as VALUES instead of round-tripped through the
+#   four CP-wide VMEM scratch refs.  Standalone it is FASTER (mid 3.24 ->
+#   2.76 ms, mid2 4.38 -> 2.29 ms on-chip) — but in-model the longer live
+#   ranges blow up the Mosaic/XLA compile: on this image's TPU relay the
+#   compile helper is OOM-killed (SIGKILL) on the batch-2 train program
+#   (round-5 bisection: value-carry kills it, the ref form compiles).
+#   Opt-in for relays with more compile headroom.
 # "tri": the round-2 triangle expansion with separable tri' factoring
 #   (kept for bisection; zero gradient at integer offsets).
 _BWD_ACCUM = _os.environ.get("SIDE_TPU_DCN_BWD_ACCUM", "lerp")
@@ -198,7 +206,7 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
     CP = P * C
     CoP = P * Cout
     S = 2 * R + 1      # s = R+1 shifts are identically zero (see _dx_kernel)
-    if _BWD_ACCUM != "lerp":
+    if _BWD_ACCUM != "lerp_vc":
         gw_ref, acc_ref, ady_ref, adx_ref = scratch
 
     x32_ref[:] = x_ref[0].astype(jnp.float32)      # windowed x block
@@ -213,7 +221,7 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
             wT_ref[k * CoP:(k + 1) * CoP, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(tile_h, W, CP)
-        if _BWD_ACCUM != "lerp":
+        if _BWD_ACCUM not in ("lerp", "lerp_vc"):
             gw_ref[:] = gw
 
         dy_raw = offs[:, :, 2 * k * P:(2 * k + 1) * P]
@@ -252,13 +260,59 @@ def _dcoord_kernel(x_ref, g_ref, off_ref, mask_ref, wT_ref, w_ref,
             acc = row[0][0] + ady_v * fy
             adx = row[0][1] + (row[1][1] - row[0][1]) * fy
         elif _BWD_ACCUM == "lerp":
-            # recompute the forward column via the production select-lerp
-            # (see _BWD_ACCUM / dcn_pallas._ACCUM) and read the offset
-            # gradients off the SAME lerp: per y-row, row_val = lo +
-            # (hi-lo)·fx and row_dx = hi - lo; the y-lerp of row_val is
-            # the column value, its selected (hi - lo) is d/d dy, and the
-            # y-lerp of row_dx is d/d dx.  Exact a.e. derivative of the
-            # production forward; no fori_loop, no accumulator streams.
+            # fori-row select-lerp (production): same math as lerp_vc —
+            # recompute the forward column via the select-lerp and read
+            # the offset gradients off the SAME lerp (row_val = lo +
+            # (hi-lo)·fx, row_dx = hi-lo; y-lerp of row_val is the value,
+            # the by-selected (hi-lo) is d/d dy, the y-lerp of row_dx is
+            # d/d dx; exact a.e. derivative of the production forward,
+            # nonzero at integer offsets) — but the row loop is a
+            # fori_loop whose y-selection accumulates into the four VMEM
+            # stream refs (vlo/vhi/dlo/dhi).  ~1/3 the unrolled MLIR of
+            # the value form: round-5 bisection showed the unrolled lerp
+            # body plus the s2d stem together OOM-kill this image's relay
+            # compile helper on the batch-2 train program; this form
+            # compiles WITH the stem.  Every lane of by lies in [-R, R-1],
+            # so each stream ref is fully overwritten per tap (mlo/mhi
+            # each hit exactly one row) — no initialisation needed.
+            by = jnp.clip(jnp.floor(dyE), -R, R - 1)
+            fy = dyE - by
+            bx = jnp.clip(jnp.floor(dxE), -R, R - 1)
+            fx = dxE - bx
+            mx = {b0: bx == b0 for b0 in range(-R + 1, R)}
+
+            def row_body(i, carry, ty=ty, tx=tx, by=by, fx=fx, mx=mx):
+                xs = x32_ref[pl.ds(ty + i, tile_h)]
+                lo = hi = None
+                for b0 in range(-R, R):
+                    c0 = PAD - 1 + tx + b0
+                    xb = xs[:, c0:c0 + W, :]
+                    xb1 = xs[:, c0 + 1:c0 + 1 + W, :]
+                    if lo is None:
+                        lo, hi = xb, xb1
+                    else:
+                        lo = jnp.where(mx[b0], xb, lo)
+                        hi = jnp.where(mx[b0], xb1, hi)
+                d = hi - lo
+                rv = lo + d * fx
+                syf = i.astype(jnp.float32) - R
+                mlo = by == syf
+                mhi = by == syf - 1.0
+                acc_ref[:] = jnp.where(mlo, rv, acc_ref[:])   # vlo
+                ady_ref[:] = jnp.where(mhi, rv, ady_ref[:])   # vhi
+                adx_ref[:] = jnp.where(mlo, d, adx_ref[:])    # dlo
+                gw_ref[:] = jnp.where(mhi, d, gw_ref[:])      # dhi
+                return carry
+
+            jax.lax.fori_loop(0, S, row_body, 0)
+            vlo, vhi = acc_ref[:], ady_ref[:]
+            dlo, dhi = adx_ref[:], gw_ref[:]
+            ady_v = vhi - vlo
+            acc = vlo + ady_v * fy
+            adx = dlo + (dhi - dlo) * fy
+        elif _BWD_ACCUM == "lerp_vc":
+            # unrolled value-carried variant (see _BWD_ACCUM): fastest
+            # standalone, largest compile
             by = jnp.clip(jnp.floor(dyE), -R, R - 1)
             fy = dyE - by
             bx = jnp.clip(jnp.floor(dxE), -R, R - 1)
@@ -543,7 +597,7 @@ def _run_dcoord(x, xP, gP, offP, maskP, wT, wfull, B, H, W, C, Cout,
             jax.ShapeDtypeStruct((9, CP, CoP), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((win_rows, Wx, CP), jnp.float32)] +
-        ([] if _BWD_ACCUM == "lerp" else
+        ([] if _BWD_ACCUM == "lerp_vc" else
          [pltpu.VMEM((tile_dc, W, CP), jnp.float32)] * 4),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

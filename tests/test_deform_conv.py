@@ -645,3 +645,17 @@ def test_bwd_roofline_probe_bodies_run():
     for a, r in zip(outs[""], ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-4, atol=2e-4)
+
+    # the value-carried accum variant (lerp_vc — opt-in, see _BWD_ACCUM)
+    # must produce the same gradients as the production ref form
+    old = DPB._BWD_ACCUM
+    try:
+        DPB._BWD_ACCUM = "lerp_vc"
+        with um.patch("side_tpu.ops.dcn_pallas_bwd.pl.pallas_call",
+                      functools.partial(DP.pl.pallas_call, interpret=True)):
+            vc = DPB.dcn_packed_backward(x, offset18, mask, w, g, 1)
+    finally:
+        DPB._BWD_ACCUM = old
+    for a, r in zip(vc, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
