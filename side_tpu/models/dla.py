@@ -346,7 +346,19 @@ class DLA(nn.Module):
         # copying between every op (58.8 -> ~6 ms/step of the 264 ms
         # batch-2 train step, round-5 profile).  Exactness vs the plain
         # stem is asserted by tests/test_model.py::test_s2d_stem_parity.
-        s2d = (_os.environ.get("SIDE_TPU_STEM", "s2d") == "s2d"
+        # Stem layout policy (SIDE_TPU_STEM): "s2d" (default) = the packed
+        # stem at EVAL only; training keeps the plain stem.  The two are
+        # exactly equal math (parity test), so train-plain/eval-s2d is
+        # consistent — and the batch-2 TRAIN program with the s2d kernel
+        # expansion + its VJP pushes this image's relay compile helper
+        # past its memory budget (SIGKILL; round-5 bisection — even with
+        # the fori-row d_coord body), while the inference program
+        # compiles fine and gains +17% (52.0 -> 60.7 pairs/s).
+        # "s2d_always" opts training in on relays with more compile
+        # headroom; "plain" disables it everywhere.
+        _stem = _os.environ.get("SIDE_TPU_STEM", "s2d")
+        s2d = (_stem in ("s2d", "s2d_always")
+               and (not train or _stem == "s2d_always")
                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                and self.levels[0] == 1 and self.levels[1] == 1)
         if s2d:

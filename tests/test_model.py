@@ -221,7 +221,11 @@ def test_s2d_stem_parity(monkeypatch):
     def run(train):
         outs = {}
         for mode in ("plain", "s2d"):
-            monkeypatch.setenv("SIDE_TPU_STEM", mode)
+            # "s2d_always": the default "s2d" policy is eval-only (the
+            # train-program compile budget, see DLA.__call__); parity of
+            # the TRAIN path needs the explicit opt-in
+            monkeypatch.setenv("SIDE_TPU_STEM",
+                               "s2d_always" if mode == "s2d" else mode)
             if train:
                 outs[mode] = model.apply(vs, x, train=True,
                                          mutable=["batch_stats"])
@@ -251,7 +255,8 @@ def test_s2d_stem_parity(monkeypatch):
     # amplifies reassociation noise (isolated: stem-local grads agree to
     # ~1e-5; a convention bug would be O(1))
     def loss(params, mode):
-        monkeypatch.setenv("SIDE_TPU_STEM", mode)
+        monkeypatch.setenv("SIDE_TPU_STEM",
+                           "s2d_always" if mode == "s2d" else mode)
         outs, _ = model.apply({"params": params, "batch_stats": bs}, x,
                               train=True, mutable=["batch_stats"])
         return sum(jnp.sum(o * o) for o in outs[1:3])
